@@ -1,0 +1,257 @@
+"""Ensemble pairwise scoring kernel (Spark-first hybrid).
+
+Re-expresses the reference's ``ENSEMBLE_MATCH_SCORE`` scalar Python UDF
+(/root/reference/snowflake/11_ensemble_udfs.sql:411-645) — a per-field,
+data-characteristic strategy router with a weighted composite — as:
+
+* ONE Arrow-vectorized pandas UDF for the string-similarity fields
+  (name + address routers, tax transpose detection), returning a typed
+  StructType so Catalyst can prune struct fields; and
+* native column expressions for everything cheap (phone / cms strategies,
+  winner-take-max, composite weighting + renormalization), which stay inside
+  WholeStageCodegen.
+
+Routing, strategy names, weights, rounding (4 dp) and tie-breaking (first
+max in insertion order) match the reference exactly:
+
+  name router (11_ensemble_udfs.sql:530-553):
+    any token in ABBREVS        -> try [NAME_ABR, NAME_JW, NAME_TSR]
+    elif len-ratio < 0.6        -> try [NAME_TSR, NAME_ABR]
+    elif max len <= 20          -> try [NAME_JW, NAME_PHO, NAME_NGR]
+    else                        -> try [NAME_JW, NAME_NGR]
+  addr router (:555-566):
+    digits in first 10 chars of both -> [ADDR_CMP, ADDR_NRM] else [ADDR_JAC]
+  tax (:591-607): exact -> 1.0/TIN_EXACT else transpose (0.9/0.7)/TIN_TRANS
+  phone (:619-626): max(e164, last7); strategy PHONE_E164 if e164 >= l7
+  cms (:629-635): max(exact, prefix5=0.85); CMS_EXACT if exact >= pfx
+  composite (:638-641): sum(w_f * s_f) / sum(w_f) over present fields,
+    weights name .35 / tax .25 / addr .20 / phone .10 / cms .10, round 4dp.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, DoubleType, StringType, StructField, StructType,
+)
+
+from payor_mdm_spark.config import ABBREVS, FIELD_WEIGHTS
+from payor_mdm_spark.functions import similarity as sim
+from payor_mdm_spark.functions.phonetic import phonetic_equal
+
+STRING_SCORES_SCHEMA = StructType(
+    [
+        StructField("name_score", DoubleType()),
+        StructField("name_strategy", StringType()),
+        StructField("addr_score", DoubleType()),
+        StructField("addr_strategy", StringType()),
+        StructField("tax_score", DoubleType()),
+        StructField("tax_strategy", StringType()),
+    ]
+)
+
+
+def route_name(a: str, b: str) -> tuple[float, str]:
+    """Name-strategy router on already upper/stripped inputs."""
+    has_abbrev = any(t in ABBREVS for t in a.split()) or any(
+        t in ABBREVS for t in b.split()
+    )
+    mx = max(len(a), len(b))
+    len_ratio = min(len(a), len(b)) / mx if mx > 0 else 1.0
+
+    results: dict[str, float] = {}
+    if has_abbrev:
+        results["NAME_ABR"] = sim.name_abr(a, b)
+        results["NAME_JW"] = sim.name_jw(a, b)
+        results["NAME_TSR"] = sim.token_sort_ratio(a, b)
+    elif len_ratio < 0.6:
+        results["NAME_TSR"] = sim.token_sort_ratio(a, b)
+        results["NAME_ABR"] = sim.name_abr(a, b)
+    elif mx <= 20:
+        results["NAME_JW"] = sim.name_jw(a, b)
+        results["NAME_PHO"] = phonetic_equal(a, b)
+        results["NAME_NGR"] = sim.trigram_cosine(a, b)
+    else:
+        results["NAME_JW"] = sim.name_jw(a, b)
+        results["NAME_NGR"] = sim.trigram_cosine(a, b)
+
+    winner = max(results, key=results.get)  # first max in insertion order
+    return results[winner], winner
+
+
+def route_addr(a: str, b: str) -> tuple[float, str]:
+    has_num = any(c.isdigit() for c in a[:10]) and any(c.isdigit() for c in b[:10])
+    results: dict[str, float] = {}
+    if has_num:
+        results["ADDR_CMP"] = sim.addr_component(a, b)
+        results["ADDR_NRM"] = sim.addr_normalized(a, b)
+    else:
+        results["ADDR_JAC"] = sim.addr_jaccard(a, b)
+    winner = max(results, key=results.get)
+    return results[winner], winner
+
+
+def score_tax(a: str | None, b: str | None) -> tuple[float | None, str | None]:
+    if not a or not b:
+        return None, None
+    da, db = sim.digits_only(a), sim.digits_only(b)
+    if not da or not db:
+        return None, None
+    if da == db:
+        return 1.0, "TIN_EXACT"
+    trans = 0.0
+    if len(da) == len(db):
+        diffs = sum(1 for x, y in zip(da, db) if x != y)
+        trans = 0.9 if diffs <= 1 else (0.7 if diffs == 2 else 0.0)
+    return trans, ("TIN_TRANS" if trans > 0.0 else "TIN_EXACT")
+
+
+@pandas_udf(STRING_SCORES_SCHEMA)
+def string_scores_udf(
+    name_a: pd.Series, name_b: pd.Series,
+    addr_a: pd.Series, addr_b: pd.Series,
+    tax_a: pd.Series, tax_b: pd.Series,
+) -> pd.DataFrame:
+    """Batched string-field scoring. One Arrow batch in, one struct column
+    out; the per-value loop runs over an in-memory batch (no per-row
+    Python<->JVM crossings, per input_hint 'no per-row Python')."""
+    n = len(name_a)
+    out = {
+        "name_score": [None] * n, "name_strategy": [None] * n,
+        "addr_score": [None] * n, "addr_strategy": [None] * n,
+        "tax_score": [None] * n, "tax_strategy": [None] * n,
+    }
+    na_l, nb_l = name_a.tolist(), name_b.tolist()
+    aa_l, ab_l = addr_a.tolist(), addr_b.tolist()
+    ta_l, tb_l = tax_a.tolist(), tax_b.tolist()
+    for i in range(n):
+        na, nb = na_l[i], nb_l[i]
+        if na and nb:
+            s, strat = route_name(na.upper().strip(), nb.upper().strip())
+            out["name_score"][i] = s
+            out["name_strategy"][i] = strat
+        aa, ab = aa_l[i], ab_l[i]
+        if aa and ab:
+            s, strat = route_addr(aa.upper().strip(), ab.upper().strip())
+            out["addr_score"][i] = s
+            out["addr_strategy"][i] = strat
+        ts, tstrat = score_tax(ta_l[i], tb_l[i])
+        out["tax_score"][i] = ts
+        out["tax_strategy"][i] = tstrat
+    return pd.DataFrame(out)
+
+
+def _digits(col: Column) -> Column:
+    return F.regexp_replace(F.coalesce(col, F.lit("")), "[^0-9]", "")
+
+
+def phone_score_cols(a: Column, b: Column) -> tuple[Column, Column]:
+    """Native-column PHONE_E164 / PHONE_L7 (11_ensemble_udfs.sql:619-626)."""
+    da, db = _digits(a), _digits(b)
+    both = (F.length(da) > 0) & (F.length(db) > 0) & a.isNotNull() & b.isNotNull()
+    e164 = F.when(
+        (F.length(da) >= 10) & (F.length(db) >= 10),
+        F.when(F.substring(da, -10, 10) == F.substring(db, -10, 10), 1.0).otherwise(0.0),
+    ).otherwise(0.0)
+    l7 = F.when(
+        (F.length(da) >= 7) & (F.length(db) >= 7),
+        F.when(F.substring(da, -7, 7) == F.substring(db, -7, 7), 1.0).otherwise(0.0),
+    ).otherwise(0.0)
+    score = F.when(both, F.greatest(e164, l7))
+    strategy = F.when(both, F.when(e164 >= l7, "PHONE_E164").otherwise("PHONE_L7"))
+    return score, strategy
+
+
+def cms_score_cols(a: Column, b: Column) -> tuple[Column, Column]:
+    """Native-column CMS_EXACT / CMS_PFX (11_ensemble_udfs.sql:629-635)."""
+    ca, cb = F.upper(F.trim(a)), F.upper(F.trim(b))
+    both = a.isNotNull() & b.isNotNull() & (F.length(a) > 0) & (F.length(b) > 0)
+    exact = F.when(ca == cb, 1.0).otherwise(0.0)
+    pfx = F.when(
+        (F.length(ca) >= 5) & (F.length(cb) >= 5)
+        & (F.substring(ca, 1, 5) == F.substring(cb, 1, 5)),
+        0.85,
+    ).otherwise(0.0)
+    score = F.when(both, F.greatest(exact, pfx))
+    strategy = F.when(both, F.when(exact >= pfx, "CMS_EXACT").otherwise("CMS_PFX"))
+    return score, strategy
+
+
+def composite_col(
+    name_score: Column, tax_score: Column, addr_score: Column,
+    phone_score: Column, cms_score: Column,
+) -> Column:
+    """Weighted composite renormalized over present (non-null) fields."""
+    w = FIELD_WEIGHTS
+    pairs = [
+        (name_score, w["name"]), (tax_score, w["exact_key_1"]),
+        (addr_score, w["address"]), (phone_score, w["phone"]),
+        (cms_score, w["exact_key_2"]),
+    ]
+    num = None
+    den = None
+    for col, weight in pairs:
+        term = F.when(col.isNotNull(), col * F.lit(weight)).otherwise(F.lit(0.0))
+        wterm = F.when(col.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return F.when(den > 0, F.round(num / den, 4))
+
+
+def apply_ensemble(pairs: DataFrame) -> DataFrame:
+    """Add ensemble score columns to a rehydrated pair DataFrame.
+
+    Expects columns: name_a/name_b, addr_a/addr_b, exact_key_1_a/_b (tax
+    analog), phone_a/phone_b, exact_key_2_a/_b (cms analog). Produces:
+    score_name, score_exact_key_1, score_address, score_phone,
+    score_exact_key_2 + winning strategies + strategies_used + composite.
+    """
+    df = pairs.withColumn(
+        "_str",
+        string_scores_udf(
+            F.col("name_a"), F.col("name_b"),
+            F.col("addr_a"), F.col("addr_b"),
+            F.col("exact_key_1_a"), F.col("exact_key_1_b"),
+        ),
+    )
+    phone_s, phone_strat = phone_score_cols(F.col("phone_a"), F.col("phone_b"))
+    cms_s, cms_strat = cms_score_cols(F.col("exact_key_2_a"), F.col("exact_key_2_b"))
+    df = (
+        df.withColumn("score_name", F.col("_str.name_score"))
+        .withColumn("winning_name_strategy", F.col("_str.name_strategy"))
+        .withColumn("score_address", F.col("_str.addr_score"))
+        .withColumn("winning_addr_strategy", F.col("_str.addr_strategy"))
+        .withColumn("score_exact_key_1", F.col("_str.tax_score"))
+        .withColumn("winning_tax_strategy", F.col("_str.tax_strategy"))
+        .withColumn("score_phone", phone_s)
+        .withColumn("winning_phone_strategy", phone_strat)
+        .withColumn("score_exact_key_2", cms_s)
+        .withColumn("winning_cms_strategy", cms_strat)
+        .drop("_str")
+    )
+    # strategies_used in the reference's append order: name, tax, addr,
+    # phone, cms (11_ensemble_udfs.sql:589-635).
+    df = df.withColumn(
+        "strategies_used",
+        F.filter(
+            F.array(
+                F.col("winning_name_strategy"),
+                F.col("winning_tax_strategy"),
+                F.col("winning_addr_strategy"),
+                F.col("winning_phone_strategy"),
+                F.col("winning_cms_strategy"),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return df.withColumn(
+        "composite",
+        composite_col(
+            F.col("score_name"), F.col("score_exact_key_1"),
+            F.col("score_address"), F.col("score_phone"),
+            F.col("score_exact_key_2"),
+        ),
+    )
