@@ -76,7 +76,7 @@ REVIEW_THRESHOLD = 0.60
 # Legal-suffix strip pattern for name normalization
 # (stg_crm_payors.sql:17-26; Snowflake 'i' flag -> inline (?i)).
 LEGAL_SUFFIX_PATTERN = (
-    r"(?i)\s*(,\s*)?(INC\.?|LLC\.?|CORP\.?|CORPORATION|CO\.?|LTD\.?"
+    r"(?i)\s*(,\s*)?(INC\.?|LLC\.?|CORP\.?|CO\.?|LTD\.?"
     r"|L\.?P\.?|L\.?L\.?C\.?|P\.?C\.?)\s*$"
 )
 
@@ -123,6 +123,28 @@ SURVIVORSHIP_RULES: dict[str, str] = {
     "is_active": "any_true",
     "effective_date": "min",
     "termination_date": "max",
+}
+
+# Full-state-name -> 2-letter code map. The reference staging layer joins a
+# 51-row inline VALUES lookup to normalize claims-feed state names
+# (stg_claims_payors.sql:2-18,99-100, operator P10); we broadcast-join the
+# same map built from this dict.
+STATE_NAME_TO_CODE: dict[str, str] = {
+    "ALABAMA": "AL", "ALASKA": "AK", "ARIZONA": "AZ", "ARKANSAS": "AR",
+    "CALIFORNIA": "CA", "COLORADO": "CO", "CONNECTICUT": "CT",
+    "DELAWARE": "DE", "FLORIDA": "FL", "GEORGIA": "GA", "HAWAII": "HI",
+    "IDAHO": "ID", "ILLINOIS": "IL", "INDIANA": "IN", "IOWA": "IA",
+    "KANSAS": "KS", "KENTUCKY": "KY", "LOUISIANA": "LA", "MAINE": "ME",
+    "MARYLAND": "MD", "MASSACHUSETTS": "MA", "MICHIGAN": "MI",
+    "MINNESOTA": "MN", "MISSISSIPPI": "MS", "MISSOURI": "MO",
+    "MONTANA": "MT", "NEBRASKA": "NE", "NEVADA": "NV",
+    "NEW HAMPSHIRE": "NH", "NEW JERSEY": "NJ", "NEW MEXICO": "NM",
+    "NEW YORK": "NY", "NORTH CAROLINA": "NC", "NORTH DAKOTA": "ND",
+    "OHIO": "OH", "OKLAHOMA": "OK", "OREGON": "OR", "PENNSYLVANIA": "PA",
+    "RHODE ISLAND": "RI", "SOUTH CAROLINA": "SC", "SOUTH DAKOTA": "SD",
+    "TENNESSEE": "TN", "TEXAS": "TX", "UTAH": "UT", "VERMONT": "VT",
+    "VIRGINIA": "VA", "WASHINGTON": "WA", "WEST VIRGINIA": "WV",
+    "WISCONSIN": "WI", "WYOMING": "WY", "DISTRICT OF COLUMBIA": "DC",
 }
 
 # Fields participating in the golden completeness score

@@ -1,0 +1,206 @@
+"""Multi-pass blocking: candidate-pair generation with explicit skew control.
+
+Re-expresses the reference's OR-of-blocking-keys self-join
+(/root/reference/transform/payor_mdm/models/match/int_blocking_pairs.sql:13-31)
+Spark-first. A literal translation of the OR-join would force a
+BroadcastNestedLoopJoin; instead each blocking key runs as its OWN equi
+self-join and the passes union + dedup (semantically identical — the
+reference's `select distinct` already collapses multi-key hits; SURVEY §2.3
+J1). Two additional passes extend recall per the north_star: a
+sorted-neighborhood window pass and a deterministic MinHash-LSH pass over
+name shingles — both pure native column ops (no Python).
+
+Skew (north_rule: explicit salting of hot blocking keys): the reference's
+null fill-ins ('XX' state, 'XXX' zip3) and dominant name prefixes create
+mega-blocks that would quadratically blow up the self-join. Every pass
+counts per-key block sizes first; keys whose block exceeds
+``max_block_size`` are salted — members are hashed into ceil(n/cap)
+sub-blocks and pairs are generated only within a sub-block. This bounds any
+single join task at ~cap^2 pair candidates (documented recall trade on
+pathological blocks only; normal blocks are unaffected). AQE skew-join
+handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.config import (
+    MAX_BLOCK_SIZE,
+    MINHASH_BANDS,
+    MINHASH_NUM_HASHES,
+    MINHASH_SHINGLE_K,
+    SORTED_NEIGHBORHOOD_WINDOW,
+)
+
+_ID = "source_record_id"
+
+
+def _pairs_within_blocks(
+    members: DataFrame, key_cols: list[str], pass_name: str, max_block_size: int
+) -> DataFrame:
+    """Equi self-join within blocks, with hot blocks salted.
+
+    ``members``: DataFrame[key_cols..., source_record_id]. Returns
+    DataFrame[source_record_id_a, source_record_id_b, block_pass].
+    """
+    counts = members.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_blk_cnt"))
+    hot = counts.filter(F.col("_blk_cnt") > max_block_size)
+    salted = members.join(F.broadcast(hot), key_cols, "left").withColumn(
+        "_salt",
+        F.when(F.col("_blk_cnt").isNull(), F.lit(0)).otherwise(
+            F.pmod(
+                F.xxhash64(F.col(_ID)),
+                F.ceil(F.col("_blk_cnt") / F.lit(max_block_size)).cast("long"),
+            ).cast("int")
+        ),
+    ).drop("_blk_cnt")
+
+    join_keys = key_cols + ["_salt"]
+    a = salted.select(*[F.col(c) for c in join_keys], F.col(_ID).alias(f"{_ID}_a"))
+    b = salted.select(*[F.col(c) for c in join_keys], F.col(_ID).alias(f"{_ID}_b"))
+    return (
+        a.join(b, join_keys, "inner")
+        # canonical ordering halves the pair space and kills self-pairs
+        # (int_blocking_pairs.sql:19)
+        .filter(F.col(f"{_ID}_a") < F.col(f"{_ID}_b"))
+        .select(f"{_ID}_a", f"{_ID}_b")
+        .withColumn("block_pass", F.lit(pass_name))
+    )
+
+
+def _key_pass(
+    staged: DataFrame, key_col: str, pass_name: str, max_block_size: int
+) -> DataFrame:
+    members = (
+        staged.filter(F.col(key_col).isNotNull() & (F.col(key_col) != ""))
+        .select(F.col(key_col).alias("_k"), _ID)
+    )
+    return _pairs_within_blocks(members, ["_k"], pass_name, max_block_size)
+
+
+def sorted_neighborhood_pass(
+    staged: DataFrame, window: int = SORTED_NEIGHBORHOOD_WINDOW
+) -> DataFrame:
+    """Pair each record with its next `window` neighbors in name order.
+
+    Scale-safe: rather than one global sort (a single-partition window),
+    records are partitioned by a 2-char name prefix and sorted within the
+    partition — the standard blocked sorted-neighborhood hybrid. Boundary
+    pairs across prefix partitions are intentionally forgone (the key-equality
+    and LSH passes cover them).
+    """
+    from pyspark.sql.window import Window
+
+    recs = staged.filter(
+        F.col("name_norm").isNotNull() & (F.length("name_norm") > 0)
+    ).select(
+        F.substring("name_norm", 1, 2).alias("_pfx"), F.col("name_norm"), F.col(_ID)
+    )
+    w = Window.partitionBy("_pfx").orderBy(F.col("name_norm"), F.col(_ID))
+    neighbor_cols = [
+        F.lead(_ID, i).over(w).alias(f"_n{i}") for i in range(1, window + 1)
+    ]
+    exploded = (
+        recs.select(F.col(_ID), *neighbor_cols)
+        .withColumn("_nbr", F.array_compact(F.array(*[F.col(f"_n{i}") for i in range(1, window + 1)])))
+        .select(F.col(_ID), F.explode("_nbr").alias("_other"))
+    )
+    return (
+        exploded.select(
+            F.least(F.col(_ID), F.col("_other")).alias(f"{_ID}_a"),
+            F.greatest(F.col(_ID), F.col("_other")).alias(f"{_ID}_b"),
+        )
+        .filter(F.col(f"{_ID}_a") < F.col(f"{_ID}_b"))
+        .withColumn("block_pass", F.lit("sorted_neighborhood"))
+    )
+
+
+def _shingles(col: Column, k: int) -> Column:
+    """Character k-shingles as a native array expression (no UDF)."""
+    padded = F.upper(col)
+    n = F.length(padded)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: padded.substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array(padded))
+
+
+def minhash_signature(col: Column, num_hashes: int = MINHASH_NUM_HASHES,
+                      k: int = MINHASH_SHINGLE_K) -> Column:
+    """Deterministic MinHash signature over char k-shingles, fully native:
+    h_j(doc) = min over shingles of xxhash64(shingle, j)."""
+    sh = _shingles(col, k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pass(
+    staged: DataFrame,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    max_block_size: int = MAX_BLOCK_SIZE,
+) -> DataFrame:
+    """LSH banding: records sharing any band signature become candidates.
+
+    Signature/banding is pure column math (xxhash64 seeds), so the pass is
+    deterministic across runs and cluster sizes — required for golden
+    fixtures. Each band bucket is a block, subject to the same hot-block
+    salting as key passes.
+    """
+    rows_per_band = num_hashes // bands
+    sig = staged.filter(
+        F.col("name_norm").isNotNull() & (F.length("name_norm") > 0)
+    ).select(F.col(_ID), minhash_signature(F.col("name_norm"), num_hashes).alias("_sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    members = (
+        sig.select(F.col(_ID), F.explode(band_structs).alias("_b"))
+        .select(F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket"), _ID)
+    )
+    return _pairs_within_blocks(members, ["_band", "_bucket"], "minhash_lsh", max_block_size)
+
+
+def candidate_pairs(
+    staged: DataFrame,
+    max_block_size: int = MAX_BLOCK_SIZE,
+    include_sorted_neighborhood: bool = True,
+    include_minhash: bool = True,
+    sn_window: int = SORTED_NEIGHBORHOOD_WINDOW,
+) -> DataFrame:
+    """All blocking passes, unioned + deduped.
+
+    Output: source_record_id_a < source_record_id_b, matched_block_keys
+    (sorted array of pass names that proposed the pair — superset metadata
+    vs the reference's plain DISTINCT).
+    """
+    passes = [
+        _key_pass(staged, "block_exact_key", "exact_key", max_block_size),
+        _key_pass(staged, "block_name_key", "name_state", max_block_size),
+        _key_pass(staged, "block_zip3_name4", "zip3_name4", max_block_size),
+    ]
+    if include_sorted_neighborhood:
+        passes.append(sorted_neighborhood_pass(staged, sn_window))
+    if include_minhash:
+        passes.append(minhash_lsh_pass(staged, max_block_size=max_block_size))
+    unioned = passes[0]
+    for p in passes[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy(f"{_ID}_a", f"{_ID}_b")
+        .agg(F.sort_array(F.collect_set("block_pass")).alias("matched_block_keys"))
+    )

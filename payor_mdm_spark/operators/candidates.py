@@ -1,0 +1,77 @@
+"""Match candidates: thresholds + steward overlay -> final decisions.
+
+Mirrors /root/reference/transform/payor_mdm/models/match/match_candidates.sql:
+auto_decision from thresholds (auto_match >= 0.85, review >= 0.60, DET* rules
+auto-match at 1.0; :33-39) and final_decision with steward precedence
+(confirmed_match > confirmed_no_match > auto; :55-63).
+
+Differences by design (SURVEY §2.7): candidate ids are deterministic
+(md5(id_a || '|' || id_b)) instead of uuid_string() — nondeterministic ids
+break golden fixtures and snapshot resume — and created_at is a run-level
+literal passed in by the pipeline rather than per-row current_timestamp().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.config import AUTO_MATCH_THRESHOLD, REVIEW_THRESHOLD
+from payor_mdm_spark.functions.textnorm import deterministic_id
+
+
+def auto_decision_col() -> F.Column:
+    return (
+        F.when(F.col("match_rule").isin("DET-1", "DET-2", "DET-3"), "auto_match")
+        .when(F.col("overall_score") >= AUTO_MATCH_THRESHOLD, "auto_match")
+        .when(F.col("overall_score") >= REVIEW_THRESHOLD, "review")
+        .otherwise("auto_no_match")
+    )
+
+
+def final_decision_col() -> F.Column:
+    """Steward overrides auto (match_candidates.sql:55-63)."""
+    return (
+        F.when(F.col("steward_decision") == "confirmed_match", "match")
+        .when(F.col("steward_decision") == "confirmed_no_match", "no_match")
+        .when(F.col("auto_decision") == "auto_match", "match")
+        .otherwise("no_match")
+    )
+
+
+def build_candidates(
+    scored: DataFrame,
+    steward_decisions: DataFrame | None = None,
+    run_ts: str | None = None,
+) -> DataFrame:
+    """Scored pairs (+ optional steward write-back table) -> candidates.
+
+    ``steward_decisions``: DataFrame[candidate_id, steward_decision,
+    steward_user, steward_timestamp, steward_notes] — the Iceberg table the
+    review UI writes (app/src/pages/MatchReview.tsx:84-85 analog). The
+    re-derivation of final_decision from a fresh steward snapshot is exactly
+    the reference's selective-rebuild path (SURVEY §3.3).
+    """
+    df = scored.withColumn(
+        "candidate_id",
+        deterministic_id(F.col("source_record_id_a"), F.col("source_record_id_b")),
+    ).withColumn("auto_decision", auto_decision_col())
+
+    if steward_decisions is not None:
+        overlay = steward_decisions.select(
+            "candidate_id", "steward_decision", "steward_user",
+            "steward_timestamp", "steward_notes",
+        )
+        df = df.join(F.broadcast(overlay), "candidate_id", "left")
+    else:
+        df = (
+            df.withColumn("steward_decision", F.lit(None).cast("string"))
+            .withColumn("steward_user", F.lit(None).cast("string"))
+            .withColumn("steward_timestamp", F.lit(None).cast("timestamp"))
+            .withColumn("steward_notes", F.lit(None).cast("string"))
+        )
+
+    df = df.withColumn("final_decision", final_decision_col())
+    if run_ts is not None:
+        df = df.withColumn("created_at", F.lit(run_ts).cast("timestamp"))
+    return df

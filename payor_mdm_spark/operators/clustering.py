@@ -1,0 +1,141 @@
+"""Transitive clustering: distributed hash-min label propagation.
+
+Replaces the reference's driver-side connected-components stored proc
+(/root/reference/snowflake/09_connected_components_proc.sql), which collects
+ALL edges and records into proc memory and runs networkx — a deliberate
+single-node step that cannot survive 10^12-turn scale. Here edges and labels
+stay DataFrames end-to-end:
+
+  label(v) := v
+  repeat: label(v) := min(label(v), min over neighbors u of label(u))
+  until no label changes
+
+One shuffle per iteration; converges in O(cluster diameter) rounds (MDM
+clusters are near-cliques, so 2-4 rounds in practice — the reference's SQL
+variant hard-codes TWO passes and documents that deeper chains are wrong,
+match_groups.sql:43-44; we loop to fixpoint instead). Lineage is truncated
+with localCheckpoint every few iterations. Only nodes incident to at least
+one match edge enter the loop; the (vastly larger) singleton population is
+unioned back afterwards — the iteration working set is proportional to the
+matched sub-population, not the corpus.
+
+Group semantics mirror the proc:
+  * match_group_id — deterministic, content-derived. Default 'anchor' mode:
+    md5(min member id) (= the SQL variant, match_groups.sql:95, O(1) per
+    group at any group size). 'members' mode: md5 over the sorted member
+    list (the proc's UUID5-over-sorted-members analog, :65-66).
+  * is_survivor — lowest source_trust_rank, ties to smallest id (:77).
+  * group_confidence — avg incident match score, round 4 (:69-74);
+    NULL for singletons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_ID = "source_record_id"
+
+
+def propagate_labels(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """edges[id_a, id_b] + nodes[source_record_id] -> [source_record_id,
+    component] where component = min id reachable."""
+    adjacency = (
+        edges.select(F.col(f"{_ID}_a").alias("src"), F.col(f"{_ID}_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col(f"{_ID}_b").alias("src"), F.col(f"{_ID}_a").alias("dst"))
+        )
+        .distinct()
+    )
+    adjacency = adjacency.localCheckpoint(eager=True)
+
+    edge_nodes = adjacency.select(F.col("src").alias("node")).distinct()
+    labels = edge_nodes.withColumn("component", F.col("node"))
+
+    for it in range(max_iterations):
+        nbr_min = (
+            adjacency.join(labels, adjacency.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        joined = labels.join(nbr_min, labels.node == nbr_min.src, "left")
+        improved = joined.filter(
+            F.col("nbr_component") < F.col("component")
+        ).count()
+        labels = joined.select(
+            F.col("node"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        if improved == 0:
+            break
+
+    # Singletons (no incident edge) are their own component.
+    singletons = (
+        nodes.select(F.col(_ID).alias("node"))
+        .join(edge_nodes, "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return (
+        labels.unionByName(singletons)
+        .select(F.col("node").alias(_ID), "component")
+    )
+
+
+def build_match_groups(
+    candidates: DataFrame,
+    staged: DataFrame,
+    group_id_mode: str = "anchor",
+) -> DataFrame:
+    """Confirmed candidates + staged records -> match_groups table:
+    [match_group_id, source_record_id, is_survivor, group_confidence,
+    component]."""
+    edges = candidates.filter(F.col("final_decision") == "match").select(
+        f"{_ID}_a", f"{_ID}_b", "overall_score"
+    )
+    nodes = staged.select(_ID)
+    labeled = propagate_labels(edges.select(f"{_ID}_a", f"{_ID}_b"), nodes)
+
+    # group_confidence: avg score over the component's match edges (round 4)
+    conf = (
+        edges.join(
+            labeled.withColumnRenamed(_ID, f"{_ID}_a"), f"{_ID}_a"
+        )
+        .groupBy("component")
+        .agg(F.round(F.avg("overall_score"), 4).alias("group_confidence"))
+    )
+
+    members = labeled.join(conf, "component", "left")
+
+    if group_id_mode == "members":
+        gid = members.groupBy("component").agg(
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_list(_ID)))).alias(
+                "match_group_id"
+            )
+        )
+        members = members.join(gid, "component")
+    else:
+        members = members.withColumn("match_group_id", F.md5(F.col("component")))
+
+    # survivor: lowest trust rank, ties -> smallest id (proc :77)
+    trust = staged.select(_ID, "source_trust_rank")
+    members = members.join(trust, _ID)
+    w = Window.partitionBy("component").orderBy(
+        F.coalesce(F.col("source_trust_rank"), F.lit(999)).asc(), F.col(_ID).asc()
+    )
+    members = members.withColumn(
+        "is_survivor", F.row_number().over(w) == 1
+    )
+    return members.select(
+        "match_group_id", _ID, "is_survivor", "group_confidence", "component"
+    )

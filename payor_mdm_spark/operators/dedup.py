@@ -1,0 +1,216 @@
+"""Corpus deduplication operators (training-data pipeline suite).
+
+Five dedup families over a document corpus (doc_id, text), each designed
+for the 100 TB point:
+
+* exact            — md5(text) hash-groupBy; one shuffle on a 32-byte key.
+* minhash_lsh      — char-shingle MinHash signatures + banded LSH buckets;
+  candidate pairs verified with exact shingle-set Jaccard. Signature math is
+  the same fully-native xxhash64 construction as the blocking layer
+  (operators/blocking.py) — deterministic across runs and cluster sizes.
+* simhash          — 64-bit SimHash over token hashes; near-dups = equal
+  band keys (4 x 16-bit bands -> Hamming distance <= 3 candidates).
+* ngram_jaccard    — word n-gram Jaccard verification join for candidate
+  pairs (exact, used as the verifier for the approximate passes).
+* embedding cosine — see operators/similarity_search.py (near-dup by
+  cosine >= threshold over an embedding column).
+
+All passes go through the same salted block-join primitive as entity
+blocking, so a degenerate bucket (e.g. boilerplate documents sharing a
+signature) cannot quadratically explode a task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.operators.blocking import _pairs_within_blocks, minhash_signature
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: [text_hash, doc_ids, dup_count];
+    only groups with >1 member are returned."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _word_ngrams(col: Column, n: int) -> Column:
+    toks = F.split(F.lower(col), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate pairs [id_a, id_b]."""
+    grams = docs.select(
+        F.col(id_col), F.array_distinct(_word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return (
+        candidate_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_block_size: int = 500,
+) -> DataFrame:
+    """MinHash+LSH near-dup detection, verified with exact shingle Jaccard.
+
+    Output: [id_a, id_b, jaccard] with id_a < id_b and jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("source_record_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    members = base.select(
+        F.explode(band_structs).alias("_b"), F.col("source_record_id")
+    ).select(
+        F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket"),
+        "source_record_id",
+    )
+    cands = (
+        _pairs_within_blocks(members, ["_band", "_bucket"], "minhash", max_block_size)
+        .select(
+            F.col("source_record_id_a").alias("id_a"),
+            F.col("source_record_id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    # verify with exact char-shingle Jaccard (same shingles as signature)
+    from payor_mdm_spark.operators.blocking import _shingles
+
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("_g")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_col(text_col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens, fully native.
+
+    For each bit position b: sum over tokens of (+1 if bit b of
+    xxhash64(token) else -1); simhash bit b = (sum > 0). Computed via
+    aggregate over the token array — no UDF, deterministic.
+    """
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sim
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_block_size: int = 500,
+) -> DataFrame:
+    """Near-dup candidates: documents sharing any 16-bit SimHash band
+    (guarantees recall of all pairs with Hamming distance < bands)."""
+    sh = docs.select(F.col(id_col).alias("source_record_id"),
+                     simhash_col(F.col(text_col)).alias("_sh"))
+    width = 64 // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_sh"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    members = sh.select(F.explode(band_structs).alias("_b"), "source_record_id").select(
+        F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket"),
+        "source_record_id",
+    )
+    return (
+        _pairs_within_blocks(members, ["_band", "_bucket"], "simhash", max_block_size)
+        .select(
+            F.col("source_record_id_a").alias("id_a"),
+            F.col("source_record_id_b").alias("id_b"),
+        )
+        .distinct()
+    )

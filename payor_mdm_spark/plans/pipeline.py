@@ -1,0 +1,144 @@
+"""End-to-end MDM pipeline driver.
+
+The Spark analog of ``dbt run`` over the reference DAG (SURVEY §3.1):
+staging(rollup) -> blocking -> scoring -> candidates -> match_groups ->
+{survivorship, xref} -> golden -> hierarchy, each stage ending in a
+checkpointed table write (resumable; north_rule). A per-stage metrics table
+(row counts, durations, per-stage lineage) is appended as the run progresses
+— the per-partition lineage/metrics requirement at scale.
+
+No wall-clock leaks into data: ``run_ts`` is stamped once per run and passed
+to every stage that needs a timestamp (vs the reference's per-row
+current_timestamp(), match_candidates.sql:47).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.operators.blocking import candidate_pairs
+from payor_mdm_spark.operators.candidates import build_candidates
+from payor_mdm_spark.operators.clustering import build_match_groups
+from payor_mdm_spark.operators.golden import build_xref, golden_records
+from payor_mdm_spark.operators.hierarchy import infer_hierarchy
+from payor_mdm_spark.operators.rollup import rollup_conversations
+from payor_mdm_spark.operators.scoring import score_pairs
+from payor_mdm_spark.operators.staging import stage_records
+from payor_mdm_spark.operators.survivorship import survive_groups
+from payor_mdm_spark.sources.catalog import CheckpointStore
+
+STAGES = (
+    "staged", "blocking_pairs", "scored_pairs", "match_candidates",
+    "match_groups", "survived", "golden", "xref", "hierarchy",
+)
+
+
+@dataclass
+class RunResult:
+    tables: dict[str, DataFrame]
+    metrics: list[dict] = field(default_factory=list)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns: DataFrame,
+    store: CheckpointStore,
+    run_ts: str = "2026-01-01 00:00:00",
+    resume: bool = False,
+    steward_decisions: DataFrame | None = None,
+    max_block_size: int | None = None,
+    shuffle_partitions: int | None = None,
+    collect_metrics: bool = True,
+) -> RunResult:
+    """Run (or resume) the full DAG; every stage is checkpointed via
+    ``store`` and downstream stages read the committed checkpoint, so a
+    killed run restarts from the last completed stage."""
+    from payor_mdm_spark.config import MAX_BLOCK_SIZE
+
+    max_block = max_block_size or MAX_BLOCK_SIZE
+    result = RunResult(tables={})
+
+    def stage(name: str, build):
+        t0 = time.time()
+        if resume and store.exists(name):
+            df = store.read(name)
+            skipped = True
+        else:
+            df = build()
+            store.write(name, df)
+            df = store.read(name)  # downstream reads the committed snapshot
+            skipped = False
+        result.tables[name] = df
+        if collect_metrics:
+            result.metrics.append(
+                {
+                    "stage": name,
+                    "rows": df.count(),
+                    "seconds": round(time.time() - t0, 3),
+                    "skipped": skipped,
+                    "run_ts": run_ts,
+                }
+            )
+        return df
+
+    staged = stage(
+        "staged", lambda: stage_records(spark, rollup_conversations(turns))
+    )
+    pairs = stage(
+        "blocking_pairs",
+        lambda: candidate_pairs(staged, max_block_size=max_block),
+    )
+    scored = stage(
+        "scored_pairs",
+        lambda: score_pairs(pairs, staged, shuffle_partitions=shuffle_partitions),
+    )
+    candidates = stage(
+        "match_candidates",
+        lambda: build_candidates(scored, steward_decisions=steward_decisions, run_ts=run_ts),
+    )
+    groups = stage(
+        "match_groups", lambda: build_match_groups(candidates, staged)
+    )
+    survived = stage("survived", lambda: survive_groups(groups, staged))
+    golden = stage("golden", lambda: golden_records(survived, run_ts=run_ts))
+    xref = stage("xref", lambda: build_xref(groups, staged))
+    stage("hierarchy", lambda: infer_hierarchy(staged, xref, golden))
+
+    if collect_metrics:
+        metrics_df = spark.createDataFrame(
+            [
+                (m["stage"], m["rows"], m["seconds"], m["skipped"], m["run_ts"])
+                for m in result.metrics
+            ],
+            "stage string, rows long, seconds double, skipped boolean, run_ts string",
+        )
+        store.write("run_metrics", metrics_df)
+    return result
+
+
+def audit_log(
+    old: DataFrame | None, new: DataFrame, key: str, run_ts: str
+) -> DataFrame:
+    """Append-only change log between two golden snapshots
+    (MDM_CHANGE_LOG analog, 06_create_audit_tables.sql:18-29)."""
+    if old is None:
+        return new.select(
+            F.col(key).alias("entity_key"),
+            F.lit("insert").alias("change_type"),
+            F.lit(run_ts).cast("timestamp").alias("changed_at"),
+        )
+    o = old.select(F.col(key)).withColumn("_o", F.lit(1))
+    n = new.select(F.col(key)).withColumn("_n", F.lit(1))
+    joined = o.join(n, key, "full_outer")
+    return joined.select(
+        F.col(key).alias("entity_key"),
+        F.when(F.col("_o").isNull(), "insert")
+        .when(F.col("_n").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.lit(run_ts).cast("timestamp").alias("changed_at"),
+    )
