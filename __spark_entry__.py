@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — the flagship query: the full entity-resolution pipeline
+                (rollup -> staging -> blocking -> ensemble scoring ->
+                clustering -> survivorship) over a deterministic synthetic
+                transcript world (BASELINE.json input_hint shape), returning
+                the golden-entity DataFrame.
+``queries``   — one entry per implemented operator family from SURVEY §2
+                (+ the training-data suite), runnable over the driver's
+                testdata tables.
+``oracle_sql``— DuckDB-executable twins for every SQL-expressible query;
+                xxhash64-seeded kernels (MinHash/SimHash/hyperplane LSH,
+                fingerprints) are rows-only by design and covered by pytest
+                instead (tests/).
 """
 
 from __future__ import annotations
@@ -15,24 +22,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: resolve a deterministic transcript world into golden
+    entities (driver checks rows > 0, stable schema)."""
+    from payor_mdm_spark.datagen.transcripts import generate_world, world_to_tables
+    from payor_mdm_spark.operators.blocking import candidate_pairs
+    from payor_mdm_spark.operators.candidates import build_candidates
+    from payor_mdm_spark.operators.clustering import build_match_groups
+    from payor_mdm_spark.operators.golden import golden_records
+    from payor_mdm_spark.operators.rollup import rollup_conversations
+    from payor_mdm_spark.operators.scoring import score_pairs
+    from payor_mdm_spark.operators.staging import stage_records
+    from payor_mdm_spark.operators.survivorship import survive_groups
+
+    world = generate_world(seed=42, n_entities=65)
+    turns_tbl, _ = world_to_tables(world)
+    turns = spark.createDataFrame(turns_tbl.to_pandas())
+
+    staged = stage_records(spark, rollup_conversations(turns))
+    staged.cache()
+    pairs = candidate_pairs(staged)
+    scored = score_pairs(pairs, staged)
+    candidates = build_candidates(scored, run_ts="2026-01-01 00:00:00")
+    groups = build_match_groups(candidates, staged)
+    survived = survive_groups(groups, staged)
+    return golden_records(survived, run_ts="2026-01-01 00:00:00")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from payor_mdm_spark.plans.testdata_queries import Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from payor_mdm_spark.plans.testdata_queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,121 @@
+"""Benchmark harness: ER pipeline throughput + headline testdata queries.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pairs_scored": N, "pairs_scored_per_sec": N, ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_ENTITIES      override ER world size (default scales with sf)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_er_pipeline(spark, n_entities: int) -> dict:
+    """Full ER pipeline on a deterministic synthetic world; returns stage
+    timings + the headline pairs-scored/sec."""
+    from payor_mdm_spark.datagen.transcripts import generate_world, write_world
+    from payor_mdm_spark.plans.pipeline import run_pipeline
+    from payor_mdm_spark.sources.catalog import CheckpointStore
+
+    t0 = time.time()
+    world = generate_world(seed=42, n_entities=n_entities)
+    gen_s = time.time() - t0
+    d = tempfile.mkdtemp(prefix="bench_er_")
+    turns_path, _ = write_world(world, d)
+    log(f"er: {n_entities} entities, {len(world.truth)} convs, "
+        f"{len(world.turns)} turns (gen {gen_s:.1f}s)")
+
+    turns = spark.read.parquet(turns_path)
+    store = CheckpointStore(spark, os.path.join(d, "ckpt"))
+    t0 = time.time()
+    res = run_pipeline(spark, turns, store)
+    total = time.time() - t0
+    stage_s = {m["stage"]: m["seconds"] for m in res.metrics}
+    rows = {m["stage"]: m["rows"] for m in res.metrics}
+    pairs = rows.get("scored_pairs", 0)
+    scoring_s = stage_s.get("scored_pairs", 1e-9)
+    return {
+        "er_total_sec": round(total, 3),
+        "er_stage_sec": {k: round(v, 3) for k, v in stage_s.items()},
+        "er_rows": rows,
+        "pairs_scored": pairs,
+        "pairs_scored_per_sec": round(pairs / scoring_s, 1),
+        "turns": len(world.turns),
+    }
+
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "blocking_pairs_two_keys",
+    "score_jaro_winkler",
+    "connected_components",
+    "survivorship_rules",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
+    "text_token_stats",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_entities = int(os.environ.get("BENCH_ENTITIES", max(65, int(sf * 30000))))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from payor_mdm_spark.plans.testdata_queries import Q
+    from payor_mdm_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="payor-mdm-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_all = time.time()
+    er = run_er_pipeline(spark, n_entities)
+
+    query_secs: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        query_secs[name] = round(time.time() - t0, 3)
+        log(f"query {name}: {n} rows in {query_secs[name]}s")
+    total = time.time() - t_all
+
+    out = {
+        "metric": "er_pipeline+headline_queries wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {**query_secs, "er_pipeline": er["er_total_sec"]},
+        "sf": sf,
+        "cpus": cpus,
+        "entities": n_entities,
+        "turns": er["turns"],
+        "pairs_scored": er["pairs_scored"],
+        "pairs_scored_per_sec": er["pairs_scored_per_sec"],
+        "er_stage_sec": er["er_stage_sec"],
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -165,17 +165,21 @@ def simhash_col(text_col: Column, bits: int = 64) -> Column:
     toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
+    def mask(b: int) -> Column:
+        # shiftleft instead of a python literal: 1 << 63 overflows JVM long
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
     def bit_sum(b: int) -> Column:
         return F.aggregate(
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
         )
 
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = sim + F.when(bit_sum(b) > 0, mask(b)).otherwise(F.lit(0).cast("long"))
     return sim
 
 

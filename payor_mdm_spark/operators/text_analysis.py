@@ -1,0 +1,142 @@
+"""Text analysis operators (training-data pipeline suite).
+
+All native column expressions (WholeStageCodegen end-to-end):
+
+* token_count        — whitespace tokens + a BPE-ish regex segment count.
+* quality_score      — length / punctuation-ratio / stopword-ratio /
+  mean-word-length heuristics blended into [0,1].
+* language_id        — stopword-hit heuristic over small per-language
+  marker vocabularies (en/es/fr/de + cjk-char ratio for zh).
+* doc_fingerprint    — 64-bit rolling content fingerprint: xxhash64 over
+  normalized word 4-shingles folded with min() (a 1-hash MinHash — stable
+  under small reorderings of boilerplate, cheap to compare).
+
+Each operator is expressible in ANSI SQL too (see __spark_entry__.py
+oracle_sql) so correctness is oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EN = ["the", "and", "of", "to", "is", "in", "that", "with"]
+_ES = ["el", "la", "de", "que", "y", "los", "las", "una"]
+_FR = ["le", "la", "les", "des", "est", "une", "dans", "pour"]
+_DE = ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"]
+
+LANG_MARKERS: dict[str, list[str]] = {"en": _EN, "es": _ES, "fr": _FR, "de": _DE}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def subword_count_col(text: Column) -> Column:
+    """BPE-ish segment count: split on whitespace AND on letter/digit/punct
+    boundaries — an upper-bound proxy for BPE token count without a
+    vocabulary file."""
+    pieces = F.regexp_replace(
+        F.lower(text), r"([a-z]+|[0-9]+|[^a-z0-9\s]+)", "$1 "
+    )
+    return F.size(F.filter(F.split(pieces, r"\s+"), lambda t: t != ""))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_col(text: Column, stopwords: list[str] | None = None) -> Column:
+    stops = stopwords or _EN
+    toks = tokens_col(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic doc quality in [0,1]: favors 20-2000 token docs, low punct
+    density, some stopwords, plausible mean word length."""
+    n_tok = token_count_col(text).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0)) * F.least(
+        F.lit(2000.0) / F.greatest(n_tok, F.lit(1.0)), F.lit(1.0)
+    )
+    punct_score = F.lit(1.0) - F.least(punct_ratio_col(text) * 4.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio_col(text) * 5.0, F.lit(1.0))
+    mwl = mean_word_len_col(text)
+    mwl_score = F.when((mwl >= 2.5) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(
+        len_score * 0.3 + punct_score * 0.2 + stop_score * 0.3 + mwl_score * 0.2, 4
+    )
+
+
+def lang_scores_col(text: Column) -> Column:
+    """Struct of per-language stopword-hit ratios."""
+    toks = tokens_col(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    def marker_hits(markers: list[str]) -> Column:
+        # NB: the lambda must be unary — F.filter treats a second parameter
+        # as the element index
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    fields = []
+    for lang, markers in LANG_MARKERS.items():
+        fields.append((marker_hits(markers).cast("double") / n).alias(lang))
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    fields.append(
+        (cjk.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")).alias("zh")
+    )
+    return F.struct(*fields)
+
+
+def language_id_col(text: Column, min_score: float = 0.05) -> Column:
+    """argmax over lang_scores; 'und' when nothing clears min_score."""
+    s = lang_scores_col(text)
+    langs = list(LANG_MARKERS.keys()) + ["zh"]
+    pairs = F.array(
+        *[F.struct(s[lang].alias("score"), F.lit(lang).alias("lang")) for lang in langs]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint_col(text: Column, shingle_words: int = 4) -> Column:
+    """64-bit rolling fingerprint: min over xxhash64 of word shingles."""
+    toks = tokens_col(F.regexp_replace(text, r"[^\w\s]", ""))
+    shingles = F.when(
+        F.size(toks) >= shingle_words,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - shingle_words),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_words)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        docs.withColumn("token_count", token_count_col(t))
+        .withColumn("subword_count", subword_count_col(t))
+        .withColumn("punct_ratio", F.round(punct_ratio_col(t), 4))
+        .withColumn("stopword_ratio", F.round(stopword_ratio_col(t), 4))
+        .withColumn("quality_score", quality_score_col(t))
+        .withColumn("lang_pred", language_id_col(t))
+        .withColumn("fingerprint", doc_fingerprint_col(t))
+    )

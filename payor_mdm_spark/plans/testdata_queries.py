@@ -1,0 +1,1026 @@
+"""Operator-parity queries over the driver testdata + their SQL oracles.
+
+One entry per implemented operator family from SURVEY §2, each expressed
+twice: as a Spark DataFrame program (using the engine's operator/function
+modules) and as ANSI SQL for DuckDB (the driver's correctness oracle).
+Column names/aliases match exactly; result values are either integral,
+string, or floats produced by identical float programs in both engines.
+
+Ops whose kernels are not SQL-expressible (xxhash64-seeded MinHash/SimHash
+/ hyperplane LSH, the pandas-UDF ensemble router) appear in QUERIES without
+an oracle — the driver records a rows-only check and pytest covers their
+semantics instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from payor_mdm_spark.functions import textnorm as tn
+from payor_mdm_spark.functions.similarity import name_jw
+
+
+@pandas_udf("double")
+def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler (NAME_JW kernel) — defined at module
+    level so the type hints resolve under `from __future__ import
+    annotations`."""
+    return pd.Series(
+        [
+            name_jw(x.upper().strip(), y.upper().strip())
+            if x is not None and y is not None
+            else None
+            for x, y in zip(a.tolist(), b.tolist())
+        ]
+    )
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Staging / scalar expressions (SURVEY §2.2 P1-P13)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stage_normalize",
+    """
+    select
+      'crm:' || cast(c_custkey as varchar)                         as source_record_id,
+      upper(trim(c_name))                                          as name_norm,
+      regexp_replace(c_name, '[^0-9]', '', 'g')                    as digits,
+      substring(upper(trim(c_name)), 1, 6)
+        || coalesce(c_mktsegment, 'XX')                            as block_name_key,
+      coalesce(substring(cast(c_nationkey as varchar), 1, 3), 'XXX')
+        || substring(upper(trim(c_name)), 1, 4)                    as block_zip3_name4
+    from customer
+    """,
+)
+def stage_normalize(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    name_u = F.upper(F.trim("c_name"))
+    return c.select(
+        tn.source_record_id("crm", F.col("c_custkey").cast("string")).alias("source_record_id"),
+        name_u.alias("name_norm"),
+        tn.digits_only(F.col("c_name")).alias("digits"),
+        F.concat(F.substring(name_u, 1, 6), F.coalesce(F.col("c_mktsegment"), F.lit("XX"))).alias("block_name_key"),
+        F.concat(
+            F.coalesce(F.substring(F.col("c_nationkey").cast("string"), 1, 3), F.lit("XXX")),
+            F.substring(name_u, 1, 4),
+        ).alias("block_zip3_name4"),
+    )
+
+
+@query(
+    "stage_legal_suffix_strip",
+    r"""
+    select
+      s_suppkey,
+      upper(trim(regexp_replace(
+        s_name || case when s_suppkey % 3 = 0 then ', Inc.'
+                       when s_suppkey % 3 = 1 then ' LLC' else '' end,
+        '(?i)\s*(,\s*)?(INC\.?|LLC\.?|CORP\.?|CO\.?|LTD\.?|L\.?P\.?|L\.?L\.?C\.?|P\.?C\.?)\s*$',
+        ''))) as name_norm
+    from supplier
+    """,
+)
+def stage_legal_suffix_strip(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    messy = F.concat(
+        F.col("s_name"),
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit(", Inc."))
+        .when(F.col("s_suppkey") % 3 == 1, F.lit(" LLC"))
+        .otherwise(F.lit("")),
+    )
+    return s.select("s_suppkey", tn.clean_name(messy).alias("name_norm"))
+
+
+@query(
+    "stage_split_part_address",
+    """
+    with single_line as (
+      select p_partkey, p_name || ', ' || p_brand || ', ' || p_type as addr
+      from part
+    )
+    select
+      p_partkey,
+      trim(split_part(addr, ',', 1)) as seg1,
+      trim(split_part(addr, ',', 2)) as seg2,
+      nullif(trim(split_part(addr, ',', 3)), '') as seg3,
+      nullif(trim(split_part(addr, ',', 4)), '') as seg4
+    from single_line
+    """,
+)
+def stage_split_part_address(spark, sf_dir):
+    """Single-line record parse (split_part, P6/P7): the claims-feed
+    address shape "{street}, {city}, {state}, {zip}"."""
+    p = _t(spark, sf_dir, "part")
+    addr = F.concat_ws(", ", F.col("p_name"), F.col("p_brand"), F.col("p_type"))
+    parts = F.split(addr, ",")
+    def seg(i):
+        return F.trim(F.coalesce(F.try_element_at(parts, F.lit(i)), F.lit("")))
+    return p.select(
+        "p_partkey",
+        seg(1).alias("seg1"),
+        seg(2).alias("seg2"),
+        F.nullif(seg(3), F.lit("")).alias("seg3"),
+        F.nullif(seg(4), F.lit("")).alias("seg4"),
+    )
+
+
+@query(
+    "stage_state_lookup_join",
+    """
+    select s.s_suppkey, n.n_name as state_name, r.r_name as region_name
+    from supplier s
+    join nation n on s.s_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    """,
+)
+def stage_state_lookup_join(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", F.col("n_name").alias("state_name"), F.col("r_name").alias("region_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking (SURVEY §2.3 J1 rewrite + §4 passes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "blocking_pairs_two_keys",
+    """
+    select distinct
+      a.c_custkey as id_a, b.c_custkey as id_b
+    from customer a
+    join customer b
+      on a.c_custkey < b.c_custkey
+      and (
+        (a.c_nationkey = b.c_nationkey and a.c_mktsegment = b.c_mktsegment
+         and a.c_custkey % 20 = b.c_custkey % 20)
+        or floor(a.c_acctbal / 10) = floor(b.c_acctbal / 10)
+      )
+    """,
+)
+def blocking_pairs_two_keys(spark, sf_dir):
+    """OR-of-keys blocking rewritten as union of equi self-joins +
+    dropDuplicates (the reference's int_blocking_pairs.sql rewrite)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    k1 = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat_ws(
+            "|",
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+            (F.col("c_custkey") % 20).cast("string"),
+        ).alias("k"),
+    )
+    k2 = c.select(
+        F.col("c_custkey").alias("id"),
+        F.floor(F.col("c_acctbal") / 10).cast("string").alias("k"),
+    )
+
+    def pass_pairs(kdf):
+        a = kdf.select(F.col("k"), F.col("id").alias("id_a"))
+        b = kdf.select(F.col("k"), F.col("id").alias("id_b"))
+        return (
+            a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+
+    return pass_pairs(k1).unionByName(pass_pairs(k2)).dropDuplicates(["id_a", "id_b"])
+
+
+@query(
+    "blocking_sorted_neighborhood",
+    """
+    with w as (
+      select s_nationkey, s_suppkey,
+             lead(s_suppkey, 1) over (partition by s_nationkey order by s_name, s_suppkey) as n1,
+             lead(s_suppkey, 2) over (partition by s_nationkey order by s_name, s_suppkey) as n2
+      from supplier
+    )
+    select s_suppkey as id_a, n as id_b
+    from (
+      select s_suppkey, n1 as n from w
+      union all
+      select s_suppkey, n2 as n from w
+    )
+    where n is not null
+    """,
+)
+def blocking_sorted_neighborhood(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_name"), F.col("s_suppkey"))
+    with_leads = s.select(
+        "s_suppkey",
+        F.lead("s_suppkey", 1).over(w).alias("n1"),
+        F.lead("s_suppkey", 2).over(w).alias("n2"),
+    )
+    out = with_leads.select(
+        F.col("s_suppkey").alias("id_a"),
+        F.explode(
+            F.array_compact(F.array(F.col("n1"), F.col("n2")))
+        ).alias("id_b"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pairwise scoring kernels (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+_PAIRS_SQL = """
+    with p as (
+      select c_mktsegment, c_name,
+             lead(c_name) over (partition by c_mktsegment order by c_name, c_custkey) as name_b,
+             c_custkey,
+             lead(c_custkey) over (partition by c_mktsegment order by c_name, c_custkey) as key_b
+      from customer
+    )
+    select c_custkey as id_a, key_b as id_b, c_name as name_a, name_b
+    from p where name_b is not null
+"""
+
+
+def _adjacent_name_pairs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_name"), F.col("c_custkey"))
+    p = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.lead("c_custkey").over(w).alias("id_b"),
+        F.lead("c_name").over(w).alias("name_b"),
+    )
+    return p.filter(F.col("name_b").isNotNull())
+
+
+@query(
+    "score_jaro_winkler",
+    f"""
+    select id_a, id_b,
+           round(jaro_winkler_similarity(upper(trim(name_a)), upper(trim(name_b))), 4) as jw
+    from ({_PAIRS_SQL})
+    """,
+)
+def score_jaro_winkler(spark, sf_dir):
+    """The NAME_JW kernel (pandas UDF batching the same Jaro-Winkler the
+    oracle computes natively — verified bit-compatible)."""
+    p = _adjacent_name_pairs(spark, sf_dir)
+    return p.select(
+        "id_a", "id_b", _jw_udf(F.col("name_a"), F.col("name_b")).alias("jw")
+    )
+
+
+@query(
+    "score_levenshtein",
+    f"""
+    select id_a, id_b, levenshtein(name_a, name_b) as lev
+    from ({_PAIRS_SQL})
+    """,
+)
+def score_levenshtein(spark, sf_dir):
+    p = _adjacent_name_pairs(spark, sf_dir)
+    return p.select(
+        "id_a", "id_b", F.levenshtein("name_a", "name_b").alias("lev")
+    )
+
+
+@query(
+    "score_digit_fields",
+    """
+    with p as (
+      select s_suppkey as id_a,
+             lead(s_suppkey) over (order by s_name, s_suppkey) as id_b,
+             lpad(cast(s_suppkey % 1000000 as varchar), 10, '7') as phone_a,
+             lpad(cast((lead(s_suppkey) over (order by s_name, s_suppkey)) % 999983 as varchar), 10, '7') as phone_b,
+             'H' || lpad(cast(s_nationkey as varchar), 4, '0') as cms_a,
+             'H' || lpad(cast(lead(s_nationkey) over (order by s_name, s_suppkey) as varchar), 4, '0') as cms_b
+      from supplier
+    )
+    select id_a, id_b,
+      case when substring(phone_a, length(phone_a)-9, 10) = substring(phone_b, length(phone_b)-9, 10)
+           then 1.0 else 0.0 end::double as phone_e164,
+      case when substring(phone_a, length(phone_a)-6, 7) = substring(phone_b, length(phone_b)-6, 7)
+           then 1.0 else 0.0 end::double as phone_last7,
+      case when upper(trim(cms_a)) = upper(trim(cms_b)) then 1.0
+           when substring(upper(trim(cms_a)),1,5) = substring(upper(trim(cms_b)),1,5) then 0.85
+           else 0.0 end::double as cms_score
+    from p where id_b is not null
+    """,
+)
+def score_digit_fields(spark, sf_dir):
+    from payor_mdm_spark.functions.ensemble import cms_score_cols
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_name"), F.col("s_suppkey"))
+    p = s.select(
+        F.col("s_suppkey").alias("id_a"),
+        F.lead("s_suppkey").over(w).alias("id_b"),
+        F.lpad((F.col("s_suppkey") % 1000000).cast("string"), 10, "7").alias("phone_a"),
+        F.lpad((F.lead("s_suppkey").over(w) % 999983).cast("string"), 10, "7").alias("phone_b"),
+        F.concat(F.lit("H"), F.lpad(F.col("s_nationkey").cast("string"), 4, "0")).alias("cms_a"),
+        F.concat(F.lit("H"), F.lpad(F.lead("s_nationkey").over(w).cast("string"), 4, "0")).alias("cms_b"),
+    ).filter(F.col("id_b").isNotNull())
+    e164 = F.when(
+        F.substring("phone_a", -10, 10) == F.substring("phone_b", -10, 10), 1.0
+    ).otherwise(0.0)
+    l7 = F.when(
+        F.substring("phone_a", -7, 7) == F.substring("phone_b", -7, 7), 1.0
+    ).otherwise(0.0)
+    cms_s, _ = cms_score_cols(F.col("cms_a"), F.col("cms_b"))
+    return p.select(
+        "id_a", "id_b",
+        e164.alias("phone_e164"), l7.alias("phone_last7"),
+        cms_s.alias("cms_score"),
+    )
+
+
+@query(
+    "score_det_rules",
+    """
+    with pairs as (
+      select a.c_custkey as id_a, b.c_custkey as id_b,
+             a.c_acctbal as bal_a, b.c_acctbal as bal_b,
+             a.c_name as name_a, b.c_name as name_b,
+             a.c_mktsegment as seg_a, b.c_mktsegment as seg_b
+      from customer a join customer b
+        on b.c_custkey = a.c_custkey + 1
+    )
+    select
+      case when bal_a is not null and bal_a = bal_b then 'DET-1'
+           when name_a = name_b and seg_a = seg_b then 'DET-3'
+           else 'FUZZY' end as match_rule,
+      count(*) as n
+    from pairs
+    group by 1
+    """,
+)
+def score_det_rules(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_acctbal").alias("bal_a"),
+        F.col("c_name").alias("name_a"), F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = c.select(
+        (F.col("c_custkey") - 1).alias("id_a"), F.col("c_acctbal").alias("bal_b"),
+        F.col("c_name").alias("name_b"), F.col("c_mktsegment").alias("seg_b"),
+    )
+    pairs = a.join(b, "id_a")
+    rule = (
+        F.when(F.col("bal_a").isNotNull() & (F.col("bal_a") == F.col("bal_b")), "DET-1")
+        .when((F.col("name_a") == F.col("name_b")) & (F.col("seg_a") == F.col("seg_b")), "DET-3")
+        .otherwise("FUZZY")
+    )
+    return pairs.groupBy(rule.alias("match_rule")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Clustering (SURVEY §2.8 U20: distributed label propagation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "connected_components",
+    """
+    -- ground-truth components: orders chained per customer => component =
+    -- min orderkey of the customer (ids zero-padded so the engine's
+    -- lexicographic min == numeric min)
+    select lpad(cast(o_orderkey as varchar), 12, '0') as source_record_id,
+           lpad(cast(min(o_orderkey) over (partition by o_custkey) as varchar), 12, '0') as component
+    from orders
+    where o_custkey % 10 = 0
+    """,
+)
+def connected_components(spark, sf_dir):
+    """Edges = consecutive orders of each customer (a chain, the worst case
+    for fixed-pass propagation); our loop must recover exactly the
+    per-customer components."""
+    from payor_mdm_spark.operators.clustering import propagate_labels
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        o.select(
+            pad(F.col("o_orderkey")).alias("source_record_id_a"),
+            pad(F.lead("o_orderkey").over(w)).alias("source_record_id_b"),
+        )
+        .filter(F.col("source_record_id_b").isNotNull())
+    )
+    nodes = o.select(pad(F.col("o_orderkey")).alias("source_record_id"))
+    return propagate_labels(edges, nodes)
+
+
+@query(
+    "cluster_group_ids",
+    """
+    with comp as (
+      select o_orderkey,
+             min(o_orderkey) over (partition by o_custkey) as component
+      from orders where o_custkey % 10 = 0
+    )
+    select md5(cast(component as varchar)) as match_group_id,
+           count(*) as group_size
+    from comp
+    group by 1
+    """,
+)
+def cluster_group_ids(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey")
+    comp = o.select(F.min("o_orderkey").over(w).alias("component"))
+    return comp.groupBy(
+        F.md5(F.col("component").cast("string")).alias("match_group_id")
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+
+
+# ---------------------------------------------------------------------------
+# Survivorship & golden (SURVEY §2.4-§2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "survivorship_rules",
+    """
+    select
+      o_custkey as group_id,
+      arg_min(o_orderpriority, o_orderkey)
+        filter (where o_orderpriority is not null)       as survived_priority,
+      arg_max(o_orderstatus, o_orderkey)
+        filter (where o_orderstatus is not null)         as latest_status,
+      min(o_orderdate)                                   as effective_date,
+      max(o_orderdate)                                   as termination_date,
+      bool_or(o_orderstatus = 'F')                       as any_final,
+      count(*)                                           as record_count
+    from orders
+    group by o_custkey
+    """,
+)
+def survivorship_rules(spark, sf_dir):
+    """The single-aggregation survivorship formulation (struct-min trick)
+    applied to orders-as-group-members."""
+    from payor_mdm_spark.operators.survivorship import _first_nonnull_by
+
+    o = _t(spark, sf_dir, "orders")
+    first_priority = _first_nonnull_by(
+        "o_orderpriority", F.col("o_orderkey"), F.col("o_orderkey")
+    )
+    last_status = F.max(
+        F.when(
+            F.col("o_orderstatus").isNotNull(),
+            F.struct(F.col("o_orderkey").alias("p"), F.col("o_orderstatus").alias("v")),
+        )
+    )["v"]
+    return o.groupBy(F.col("o_custkey").alias("group_id")).agg(
+        first_priority.alias("survived_priority"),
+        last_status.alias("latest_status"),
+        F.min("o_orderdate").alias("effective_date"),
+        F.max("o_orderdate").alias("termination_date"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+@query(
+    "survivorship_most_complete",
+    """
+    select p_brand as group_id,
+      split_part(
+        max(lpad(cast(length(p_name) as varchar), 4, '0') || chr(9) || p_name),
+        chr(9), 2)                                       as longest_name
+    from part
+    group by p_brand
+    """,
+)
+def survivorship_most_complete(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    packed = F.max(
+        F.when(
+            F.col("p_name").isNotNull(),
+            F.struct(F.length("p_name").alias("l"), F.col("p_name").alias("v")),
+        )
+    )["v"]
+    return p.groupBy(F.col("p_brand").alias("group_id")).agg(
+        packed.alias("longest_name")
+    )
+
+
+@query(
+    "golden_completeness",
+    """
+    select
+      c_custkey,
+      round((
+        (case when c_name is not null then 1 else 0 end) +
+        (case when nullif(c_mktsegment, 'BUILDING') is not null then 1 else 0 end) +
+        (case when case when c_acctbal >= 0 then c_acctbal end is not null then 1 else 0 end) +
+        (case when nullif(cast(c_nationkey as varchar), '13') is not null then 1 else 0 end) +
+        (case when nullif(c_name, '') is not null then 1 else 0 end)
+      ) / 5.0, 4) as completeness_score
+    from customer
+    """,
+)
+def golden_completeness(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    fields = [
+        F.col("c_name"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")),
+        F.nullif(F.col("c_nationkey").cast("string"), F.lit("13")),
+        F.nullif(F.col("c_name"), F.lit("")),
+    ]
+    total = None
+    for f in fields:
+        term = F.when(f.isNotNull(), 1).otherwise(0)
+        total = term if total is None else total + term
+    return c.select(
+        "c_custkey",
+        F.round(total.cast("double") / 5.0, 4).alias("completeness_score"),
+    )
+
+
+@query(
+    "golden_quality_rollup",
+    """
+    select
+      o_custkey as group_id,
+      count(distinct o_orderstatus)        as source_count,
+      cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_score,
+      cast(sum(o_orderkey) as double) / count(*) as avg_orderkey,
+      count(*)                             as record_count
+    from orders
+    group by o_custkey
+    """,
+)
+def golden_quality_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("group_id")).agg(
+        F.countDistinct("o_orderstatus").alias("source_count"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("total_score"),
+        (F.sum("o_orderkey").cast("double") / F.count(F.lit(1))).alias("avg_orderkey"),
+        F.count(F.lit(1)).alias("record_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decisions / serving rollups (SURVEY §2.4 A8, §2.6 O3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "decision_histogram",
+    """
+    select
+      case when o_totalprice / 600000.0 >= 0.85 then 'auto_match'
+           when o_totalprice / 600000.0 >= 0.60 then 'review'
+           else 'auto_no_match' end as auto_decision,
+      count(*) as n
+    from orders
+    group by 1
+    """,
+)
+def decision_histogram(spark, sf_dir):
+    from payor_mdm_spark.config import AUTO_MATCH_THRESHOLD, REVIEW_THRESHOLD
+
+    o = _t(spark, sf_dir, "orders")
+    score = F.col("o_totalprice") / 600000.0
+    decision = (
+        F.when(score >= AUTO_MATCH_THRESHOLD, "auto_match")
+        .when(score >= REVIEW_THRESHOLD, "review")
+        .otherwise("auto_no_match")
+    )
+    return o.groupBy(decision.alias("auto_decision")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "score_bucket_histogram",
+    """
+    select cast(floor(o_totalprice / 60000.0) as bigint) as bucket, count(*) as n
+    from orders group by 1
+    """,
+)
+def score_bucket_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 60000.0).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "review_queue_top10",
+    """
+    select o_orderkey, o_totalprice
+    from orders
+    order by o_totalprice desc, o_orderkey asc
+    limit 10
+    """,
+)
+def review_queue_top10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "union_distinct_names",
+    """
+    select n_name as name from nation
+    union
+    select r_name as name from region
+    """,
+)
+def union_distinct_names(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    return n.unionByName(r).distinct()
+
+
+@query(
+    "anti_join_orphans",
+    """
+    select c.c_custkey
+    from customer c
+    where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_orphans(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey")
+
+
+@query(
+    "hierarchy_substring_join",
+    """
+    with parents as (
+      select distinct split_part(p_name, ' ', 2) as parent_token
+      from part
+      where length(split_part(p_name, ' ', 2)) >= 4
+    )
+    select p.parent_token, c.p_partkey as child_key
+    from parents p
+    join part c
+      on contains(c.p_name, p.parent_token)
+      and length(c.p_name) > length(p.parent_token)
+    """,
+)
+def hierarchy_substring_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    parents = (
+        p.select(F.split(F.col("p_name"), " ")[1].alias("parent_token"))
+        .filter(F.length("parent_token") >= 4)
+        .distinct()
+    )
+    return (
+        p.alias("c")
+        .join(
+            F.broadcast(parents),
+            F.contains(F.col("c.p_name"), F.col("parent_token"))
+            & (F.length("c.p_name") > F.length("parent_token")),
+        )
+        .select("parent_token", F.col("c.p_partkey").alias("child_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (documents)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000 as doc_id, text from documents where doc_id % 3 = 0
+    )
+    select md5(text) as text_hash, count(*) as dup_count, min(doc_id) as keeper
+    from corpus
+    group by 1
+    having count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@query(
+    "dedup_token_jaccard",
+    """
+    with toks as (
+      select doc_id, list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) as t
+      from documents
+    )
+    select a.doc_id as id_a, b.doc_id as id_b,
+      round(cast(len(list_intersect(a.t, b.t)) as double)
+            / len(list_distinct(list_concat(a.t, b.t))), 4) as jaccard
+    from toks a join toks b on b.doc_id = a.doc_id + 250
+    """,
+)
+def dedup_token_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = toks.select((F.col("doc_id") - 250).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("ta", "tb"))).cast("double")
+    return (
+        a.join(b, "id_a")
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")  # xxhash64-seeded — no SQL oracle (rows-only)
+def dedup_minhash_lsh(spark, sf_dir):
+    from payor_mdm_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    return minhash_dedup_pairs(corpus, jaccard_threshold=0.6)
+
+
+@query("dedup_simhash")  # xxhash64-seeded — no SQL oracle (rows-only)
+def dedup_simhash(spark, sf_dir):
+    from payor_mdm_spark.operators.dedup import simhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return simhash_candidate_pairs(corpus)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    with v as (select vec_id, embedding from embeddings)
+    select a.vec_id as id_a, b.vec_id as id_b,
+      round(
+        list_dot_product(cast(a.embedding as double[]), cast(b.embedding as double[]))
+        / (sqrt(list_dot_product(cast(a.embedding as double[]), cast(a.embedding as double[])))
+           * sqrt(list_dot_product(cast(b.embedding as double[]), cast(b.embedding as double[])))),
+        6) as score
+    from v a join v b on b.vec_id = a.vec_id + 250
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from payor_mdm_spark.operators.similarity_search import cosine_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(
+        (F.col("vec_id") - 250).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    return (
+        a.join(b, "id_a")
+        .select("id_a", "id_b", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_brute_force_topk",
+    """
+    with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
+    scored as (
+      select q.query_id, c.vec_id,
+        round(
+          list_dot_product(cast(q.embedding as double[]), cast(c.embedding as double[]))
+          / (sqrt(list_dot_product(cast(q.embedding as double[]), cast(q.embedding as double[])))
+             * sqrt(list_dot_product(cast(c.embedding as double[]), cast(c.embedding as double[])))),
+          6) as score
+      from embeddings c cross join q
+    )
+    select query_id, vec_id, score,
+           cast(row_number() over (partition by query_id order by score desc, vec_id asc) as int) as rank
+    from scored
+    qualify rank <= 10
+    """,
+)
+def ann_brute_force_topk(spark, sf_dir):
+    from payor_mdm_spark.operators.similarity_search import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, queries, k=10)
+
+
+@query("ann_lsh_topk")  # hyperplane sketch is xxhash64-seeded — rows-only
+def ann_lsh_topk(spark, sf_dir):
+    from payor_mdm_spark.operators.similarity_search import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, queries, k=10, n_tables=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    """
+    select doc_id,
+      len(list_filter(string_split(lower(text), ' '), x -> x <> '')) as token_count,
+      round(cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \t\n]', '', 'g')) as double)
+            / length(text), 4) as punct_ratio
+    from documents
+    where length(text) > 0
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9_ \t\n]", "")
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("token_count"),
+        F.round(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_lang_scores",
+    """
+    with toks as (
+      select doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') as t
+      from documents
+    )
+    select doc_id, lang,
+      round(cast(len(list_filter(t, x -> x in ('the','and','of','to','is','in','that','with'))) as double)
+            / greatest(len(t), 1), 4) as en_score,
+      round(cast(len(list_filter(t, x -> x in ('el','la','de','que','y','los','las','una'))) as double)
+            / greatest(len(t), 1), 4) as es_score,
+      round(cast(len(list_filter(t, x -> x in ('der','die','das','und','ist','nicht','mit','ein'))) as double)
+            / greatest(len(t), 1), 4) as de_score
+    from toks
+    """,
+)
+def text_lang_scores(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import LANG_MARKERS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+    def ratio(markers):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        return F.round(hits.cast("double") / n, 4)
+
+    return d.select(
+        "doc_id", "lang",
+        ratio(LANG_MARKERS["en"]).alias("en_score"),
+        ratio(LANG_MARKERS["es"]).alias("es_score"),
+        ratio(LANG_MARKERS["de"]).alias("de_score"),
+    )
+
+
+@query("text_fingerprint")  # xxhash64 fingerprint — rows-only
+def text_fingerprint(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import analyze_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return analyze_documents(d).select(
+        "doc_id", "token_count", "quality_score", "lang_pred", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Headline relational rollups (bench anchors)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    select
+      l_returnflag, l_linestatus,
+      cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double)      as sum_qty,
+      cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2) as double)   as sum_base_price,
+      cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))), 2) as double) as sum_disc_price,
+      round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 4) as avg_qty,
+      count(*)                                                         as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    with marked as (
+      select user_id, ts,
+        case when lag(ts) over (partition by user_id order by ts, event_id) is null
+               or epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts, event_id)) > 1800
+             then 1 else 0 end as new_session
+      from events
+    )
+    select user_id, cast(sum(new_session) as bigint) as n_sessions, count(*) as n_events
+    from marked
+    group by user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

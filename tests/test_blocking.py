@@ -1,0 +1,89 @@
+"""Blocking passes: recall properties, canonical ordering, salting caps."""
+
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.operators.blocking import (
+    candidate_pairs,
+    minhash_lsh_pass,
+    minhash_signature,
+    sorted_neighborhood_pass,
+)
+
+
+def test_canonical_ordering_and_dedup(spark, pipeline_run):
+    pairs = pipeline_run["res"].tables["blocking_pairs"]
+    assert pairs.filter(
+        F.col("source_record_id_a") >= F.col("source_record_id_b")
+    ).count() == 0
+    assert pairs.groupBy("source_record_id_a", "source_record_id_b").count().filter(
+        "count > 1"
+    ).count() == 0
+    # pass metadata present
+    assert pairs.filter(F.size("matched_block_keys") == 0).count() == 0
+
+
+def test_shared_exact_key_always_paired(spark):
+    staged = spark.createDataFrame(
+        [
+            ("r1", "AAAAAA", "999999999", "AAA", "AAAA"),
+            ("r2", "BBBBBB", "999999999", "BBB", "BBBB"),
+            ("r3", "CCCCCC", "111111111", "CCC", "CCCC"),
+        ],
+        "source_record_id string, name_norm string, block_exact_key string, "
+        "block_name_key string, block_zip3_name4 string",
+    )
+    pairs = candidate_pairs(staged, include_sorted_neighborhood=False,
+                            include_minhash=False).collect()
+    got = {(r.source_record_id_a, r.source_record_id_b) for r in pairs}
+    assert ("r1", "r2") in got
+    assert not any("r3" in p for p in got)
+
+
+def test_sorted_neighborhood_catches_adjacent_names(spark):
+    staged = spark.createDataFrame(
+        [("r1", "ACME HEALTH PLAN"), ("r2", "ACME HEALTH PLANS"), ("r3", "ZETA GROUP")],
+        "source_record_id string, name_norm string",
+    )
+    pairs = sorted_neighborhood_pass(staged, window=2).collect()
+    got = {(r.source_record_id_a, r.source_record_id_b) for r in pairs}
+    assert ("r1", "r2") in got
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([("BLUE CROSS",), ("BLUE CROSS",)], "name string")
+    sigs = df.select(minhash_signature(F.col("name")).alias("s")).collect()
+    assert sigs[0].s == sigs[1].s
+
+
+def test_minhash_pass_finds_near_identical_names(spark):
+    staged = spark.createDataFrame(
+        [
+            ("r1", "BLUE CROSS BLUE SHIELD OF TEXAS"),
+            ("r2", "BLUE CROSS BLUE SHIELD OF TEXAS INC"),
+            ("r3", "COMPLETELY DIFFERENT ENTITY NAME"),
+        ],
+        "source_record_id string, name_norm string",
+    )
+    got = {
+        (r.source_record_id_a, r.source_record_id_b)
+        for r in minhash_lsh_pass(staged).collect()
+    }
+    assert ("r1", "r2") in got
+    assert ("r1", "r3") not in got
+
+
+def test_hot_block_salting_caps_pair_blowup(spark):
+    # 60 records in ONE block with cap 10: salting must cut the pair count
+    # far below the unsalted 60*59/2 = 1770 while keeping within-bucket pairs
+    rows = [(f"r{i:03d}", "SAME", "123456789", "KEY", "KEY4") for i in range(60)]
+    staged = spark.createDataFrame(
+        rows,
+        "source_record_id string, name_norm string, block_exact_key string, "
+        "block_name_key string, block_zip3_name4 string",
+    )
+    pairs = candidate_pairs(
+        staged, max_block_size=10, include_sorted_neighborhood=False,
+        include_minhash=False,
+    )
+    n = pairs.count()
+    assert 0 < n < 600  # ~6 buckets of ~10 -> ~6 * 45 = 270 expected scale

@@ -1,0 +1,120 @@
+"""Spark ensemble output vs the pure-Python kernels (oracle parity) and
+reference routing behaviors (11_ensemble_udfs.sql:530-641)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.functions import similarity as sim
+from payor_mdm_spark.functions.ensemble import apply_ensemble, route_addr, route_name
+
+PAIRS = [
+    # name_a, name_b, tax_a, tax_b, addr_a, addr_b, phone_a, phone_b, cms_a, cms_b
+    ("BCBS OF TEXAS", "BLUE CROSS BLUE SHIELD OF TEXAS", "123456789",
+     "123456789", "100 MAIN ST DALLAS TX 75201", "100 MAIN STREET DALLAS TX 75201",
+     "2145551234", "2145551234", "H1234-001", "H1234-001"),
+    ("AETNA", "ETNA", None, None, None, None, None, None, None, None),
+    ("KAISER PERMANENTE", "KAISER PERMANENTE OF GEORGIA", "111111111",
+     "111111112", "1 PIEDMONT AVE ATLANTA GA 30303", "99 OTHER RD MACON GA 31201",
+     "4045551234", "4785559999", None, None),
+    ("SHORT", "A MUCH LONGER ENTITY NAME THAN THAT", None, None,
+     "5 OAK AVE", "5 OAK AVENUE", "5551234", "5551234", "H9", "H9"),
+    (None, "X", "123456789", "123456798", None, None, None, None, "H1234-001", "H1299-005"),
+]
+
+_SCHEMA = (
+    "name_a string, name_b string, exact_key_1_a string, exact_key_1_b string, "
+    "addr_a string, addr_b string, phone_a string, phone_b string, "
+    "exact_key_2_a string, exact_key_2_b string"
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    df = spark.createDataFrame(PAIRS, _SCHEMA)
+    return apply_ensemble(df).collect()
+
+
+def test_name_scores_match_python_router(scored):
+    for row, p in zip(scored, PAIRS):
+        na, nb = p[0], p[1]
+        if na and nb:
+            want, strat = route_name(na.upper().strip(), nb.upper().strip())
+            assert row.score_name == pytest.approx(want, abs=1e-9)
+            assert row.winning_name_strategy == strat
+        else:
+            assert row.score_name is None
+
+
+def test_addr_scores_match_python_router(scored):
+    for row, p in zip(scored, PAIRS):
+        aa, ab = p[4], p[5]
+        if aa and ab:
+            want, strat = route_addr(aa.upper().strip(), ab.upper().strip())
+            assert row.score_address == pytest.approx(want, abs=1e-9)
+            assert row.winning_addr_strategy == strat
+
+
+def test_digit_field_scores(scored):
+    for row, p in zip(scored, PAIRS):
+        tax = sim.taxid_exact(p[2], p[3])
+        if tax == 0.0:
+            tax = max(0.0, sim.taxid_transpose(p[2], p[3]) or 0.0)
+        if p[2] and p[3]:
+            assert row.score_exact_key_1 == pytest.approx(tax, abs=1e-9)
+        phone = sim.phone_e164(p[6], p[7])
+        if p[6] and p[7]:
+            assert row.score_phone == pytest.approx(
+                max(phone or 0.0, sim.phone_last7(p[6], p[7]) or 0.0), abs=1e-9
+            )
+        cms = sim.cms_exact(p[8], p[9])
+        if p[8] and p[9]:
+            assert row.score_exact_key_2 == pytest.approx(
+                max(cms or 0.0, sim.cms_prefix(p[8], p[9]) or 0.0), abs=1e-9
+            )
+
+
+def test_composite_weighting_renormalizes(scored):
+    from payor_mdm_spark.config import FIELD_WEIGHTS
+
+    w = FIELD_WEIGHTS
+    for row in scored:
+        present = []
+        if row.score_name is not None:
+            present.append((row.score_name, w["name"]))
+        if row.score_exact_key_1 is not None:
+            present.append((row.score_exact_key_1, w["exact_key_1"]))
+        if row.score_address is not None:
+            present.append((row.score_address, w["address"]))
+        if row.score_phone is not None:
+            present.append((row.score_phone, w["phone"]))
+        if row.score_exact_key_2 is not None:
+            present.append((row.score_exact_key_2, w["exact_key_2"]))
+        if not present:
+            assert row.composite is None
+            continue
+        want = sum(s * ww for s, ww in present) / sum(ww for _, ww in present)
+        assert row.composite == pytest.approx(want, abs=5e-5)  # 4dp rounding
+
+
+def test_abbrev_pair_routes_to_abr(scored):
+    row = scored[0]
+    assert row.winning_name_strategy == "NAME_ABR"
+    assert row.score_name == 1.0
+
+
+def test_short_name_routes_to_phonetic(scored):
+    row = scored[1]  # AETNA vs ETNA, maxlen <= 20, no abbrevs
+    assert row.winning_name_strategy in ("NAME_PHO", "NAME_JW", "NAME_NGR")
+    assert row.score_name == 1.0  # double-metaphone equal -> 1.0 wins
+
+
+def test_len_ratio_routes_to_tsr(scored):
+    row = scored[3]  # SHORT vs much longer -> len_ratio < 0.6
+    assert row.winning_name_strategy in ("NAME_TSR", "NAME_ABR")
+
+
+def test_strategies_used_order(scored):
+    # reference append order: name, tax, addr, phone, cms
+    row = scored[0]
+    assert row.strategies_used[0].startswith("NAME_")
+    assert "TIN_EXACT" in row.strategies_used

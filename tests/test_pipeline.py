@@ -1,0 +1,147 @@
+"""End-to-end pipeline: cluster quality, dbt-contract assertions, resume.
+
+Contract tests re-express the reference's dbt schema/data tests
+(models/*/schema.yml; tests/assert_no_orphan_source_records.sql) as
+assertions over the output DataFrames (SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pairwise_f1(truth_rows, xref_rows):
+    ent = {r["conv_id"]: r["entity_id"] for r in truth_rows}
+    cluster = {r["source_id"]: r["master_entity_id"] for r in xref_rows}
+    ids = sorted(set(ent) & set(cluster))
+    tp = fp = fn = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            actual = ent[a] == ent[b]
+            pred = cluster[a] == cluster[b]
+            tp += actual and pred
+            fp += (not actual) and pred
+            fn += actual and (not pred)
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    return 2 * p * r / (p + r) if p + r else 0.0
+
+
+def test_pairwise_f1_above_target(spark, world, pipeline_run):
+    truth = spark.read.parquet(world["truth_path"]).collect()
+    xref = pipeline_run["res"].tables["xref"].select("source_id", "master_entity_id").collect()
+    f1 = _pairwise_f1([r.asDict() for r in truth], [r.asDict() for r in xref])
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} below 0.99 target"
+
+
+def test_candidate_contract(pipeline_run):
+    cand = pipeline_run["res"].tables["match_candidates"]
+    # unique candidate ids (match/schema.yml uniqueness)
+    assert cand.groupBy("candidate_id").count().filter("count > 1").count() == 0
+    # decision enums (match/schema.yml accepted_values)
+    bad_auto = cand.filter(
+        ~F.col("auto_decision").isin("auto_match", "review", "auto_no_match")
+    ).count()
+    bad_final = cand.filter(~F.col("final_decision").isin("match", "no_match")).count()
+    assert bad_auto == 0 and bad_final == 0
+    # canonical pair ordering
+    assert cand.filter(
+        F.col("source_record_id_a") >= F.col("source_record_id_b")
+    ).count() == 0
+    # DET rules imply auto_match at 1.0
+    det = cand.filter(F.col("match_rule") != "FUZZY")
+    assert det.filter(F.col("overall_score") != 1.0).count() == 0
+    assert det.filter(F.col("auto_decision") != "auto_match").count() == 0
+
+
+def test_match_groups_contract(pipeline_run):
+    groups = pipeline_run["res"].tables["match_groups"]
+    # one group assignment per record (unique source_record_id)
+    assert groups.groupBy("source_record_id").count().filter("count > 1").count() == 0
+    # exactly one survivor per group
+    surv = groups.groupBy("match_group_id").agg(
+        F.sum(F.col("is_survivor").cast("int")).alias("n")
+    )
+    assert surv.filter("n != 1").count() == 0
+
+
+def test_no_orphan_source_records(pipeline_run):
+    # anti-join must be empty (tests/assert_no_orphan_source_records.sql)
+    staged = pipeline_run["res"].tables["staged"]
+    xref = pipeline_run["res"].tables["xref"]
+    orphans = staged.join(xref, "source_record_id", "left_anti")
+    assert orphans.count() == 0
+
+
+def test_xref_referential_integrity(pipeline_run):
+    xref = pipeline_run["res"].tables["xref"]
+    golden = pipeline_run["res"].tables["golden"]
+    dangling = xref.join(
+        golden.select(F.col("master_entity_id")), "master_entity_id", "left_anti"
+    )
+    assert dangling.count() == 0
+    assert xref.groupBy("source_record_id").count().filter("count > 1").count() == 0
+
+
+def test_golden_contract(pipeline_run):
+    golden = pipeline_run["res"].tables["golden"]
+    assert golden.groupBy("master_entity_id").count().filter("count > 1").count() == 0
+    bad = golden.filter(
+        (F.col("completeness_score") < 0) | (F.col("completeness_score") > 1)
+    ).count()
+    assert bad == 0
+    assert golden.filter(F.col("name_raw").isNull()).count() == 0
+
+
+def test_hierarchy_contract(pipeline_run):
+    h = pipeline_run["res"].tables["hierarchy"]
+    golden = pipeline_run["res"].tables["golden"]
+    assert h.filter(F.col("parent_master_id") == F.col("child_master_id")).count() == 0
+    for side in ("parent_master_id", "child_master_id"):
+        dangling = h.join(
+            golden.select(F.col("master_entity_id").alias(side)), side, "left_anti"
+        )
+        assert dangling.count() == 0
+    # curated BCBS family must yield at least one inferred edge
+    assert h.count() > 0
+
+
+def test_resume_skips_completed_stages(spark, world, tmp_path):
+    from payor_mdm_spark.plans.pipeline import run_pipeline
+    from payor_mdm_spark.sources.catalog import CheckpointStore
+
+    turns = spark.read.parquet(world["turns_path"])
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    first = run_pipeline(spark, turns, store)
+    g1 = {r.master_entity_id for r in first.tables["golden"].collect()}
+    # simulate a crash after scoring: drop everything downstream
+    for stg in ("match_candidates", "match_groups", "survived", "golden", "xref", "hierarchy"):
+        store.drop(stg)
+    second = run_pipeline(spark, turns, store, resume=True)
+    by_stage = {m["stage"]: m for m in second.metrics}
+    assert by_stage["staged"]["skipped"]
+    assert by_stage["blocking_pairs"]["skipped"]
+    assert by_stage["scored_pairs"]["skipped"]
+    assert not by_stage["match_groups"]["skipped"]
+    # resumed run reproduces identical golden output
+    g2 = {r.master_entity_id for r in second.tables["golden"].collect()}
+    assert g1 == g2
+
+
+def test_steward_override_flips_decision(spark, world, tmp_path):
+    from payor_mdm_spark.operators.candidates import build_candidates
+
+    scored = spark.createDataFrame(
+        [("a", "b", "FUZZY", 0.9), ("c", "d", "FUZZY", 0.9)],
+        "source_record_id_a string, source_record_id_b string, "
+        "match_rule string, overall_score double",
+    )
+    no_overlay = build_candidates(scored)
+    assert {r.final_decision for r in no_overlay.collect()} == {"match"}
+    cid = no_overlay.filter("source_record_id_a = 'a'").collect()[0].candidate_id
+    steward = spark.createDataFrame(
+        [(cid, "confirmed_no_match", "alice", None, "dup vendor")],
+        "candidate_id string, steward_decision string, steward_user string, "
+        "steward_timestamp timestamp, steward_notes string",
+    )
+    with_overlay = build_candidates(scored, steward_decisions=steward)
+    rows = {r.source_record_id_a: r.final_decision for r in with_overlay.collect()}
+    assert rows["a"] == "no_match" and rows["c"] == "match"

@@ -1,0 +1,174 @@
+"""Training-data operators: dedup, similarity search, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again!"),  # near dup
+        (4, "completely unrelated text about spark query engines and shuffles"),
+        (5, "el rapido zorro marron salta sobre el perro perezoso una y otra vez"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_duplicates(self, docs):
+        from payor_mdm_spark.operators.dedup import exact_dedup, exact_duplicates
+
+        groups = exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        assert groups[0].doc_ids == [1, 2]
+        kept = {r.doc_id for r in exact_dedup(docs).collect()}
+        assert kept == {1, 3, 4, 5}
+
+    def test_minhash_near_dup(self, docs):
+        from payor_mdm_spark.operators.dedup import minhash_dedup_pairs
+
+        pairs = minhash_dedup_pairs(docs, jaccard_threshold=0.5).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 2) in got  # exact dup has jaccard 1.0
+        assert (1, 3) in got  # near dup
+        assert all(4 not in p and 5 not in p for p in got)
+
+    def test_ngram_jaccard_pairs(self, spark, docs):
+        from payor_mdm_spark.operators.dedup import ngram_jaccard_pairs
+
+        cands = spark.createDataFrame(
+            [(1, 2), (1, 4)], "id_a long, id_b long"
+        )
+        rows = {(r.id_a, r.id_b): r.jaccard for r in
+                ngram_jaccard_pairs(docs, cands, n=3).collect()}
+        assert rows[(1, 2)] == pytest.approx(1.0)
+        assert rows[(1, 4)] < 0.1
+
+    def test_simhash_candidates(self, docs):
+        from payor_mdm_spark.operators.dedup import simhash_candidate_pairs
+
+        got = {(r.id_a, r.id_b) for r in simhash_candidate_pairs(docs).collect()}
+        assert (1, 2) in got
+
+
+class TestSimilaritySearch:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        import math
+
+        rows = []
+        for i in range(50):
+            angle = (i % 10) / 10.0 * math.pi / 2
+            rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * (i // 10)]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_topk_exact(self, spark, vectors):
+        from payor_mdm_spark.operators.similarity_search import brute_force_topk
+
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+        )
+        top = brute_force_topk(vectors, queries, k=5).collect()
+        assert len(top) == 5
+        assert top[0].rank == 1
+        # best match is vec 0 ([1,0,0]) with score 1.0
+        best = [r for r in top if r.rank == 1][0]
+        assert best.vec_id == 0
+        assert best.score == pytest.approx(1.0)
+        # ranks are ordered by descending score
+        scores = [r.score for r in sorted(top, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_lsh_topk_recall_vs_brute_force(self, spark, vectors):
+        from payor_mdm_spark.operators.similarity_search import (
+            brute_force_topk, lsh_topk,
+        )
+
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], "query_id long, embedding array<float>"
+        )
+        bf = {r.vec_id for r in brute_force_topk(vectors, queries, k=3).collect()}
+        ann = {r.vec_id for r in lsh_topk(vectors, queries, k=3, n_tables=8).collect()}
+        # multiprobe LSH should recover most of the exact top-3
+        assert len(bf & ann) >= 2
+
+    def test_embedding_near_dup(self, spark):
+        from payor_mdm_spark.operators.similarity_search import (
+            embedding_near_dup_pairs,
+        )
+
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.999, 0.001]), (3, [0.0, 1.0]),
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {(r.id_a, r.id_b) for r in
+               embedding_near_dup_pairs(corpus, threshold=0.99).collect()}
+        assert (1, 2) in got
+        assert all(3 not in p for p in got)
+
+
+class TestTextAnalysis:
+    def test_token_and_quality(self, spark, docs):
+        from payor_mdm_spark.operators.text_analysis import analyze_documents
+
+        rows = {r.doc_id: r for r in analyze_documents(docs).collect()}
+        assert rows[1].token_count == 12
+        assert 0.0 <= rows[1].quality_score <= 1.0
+        assert rows[1].fingerprint == rows[2].fingerprint  # same text
+        assert rows[1].fingerprint != rows[4].fingerprint
+
+    def test_language_id(self, spark, docs):
+        from payor_mdm_spark.operators.text_analysis import analyze_documents
+
+        rows = {r.doc_id: r.lang_pred for r in analyze_documents(docs).collect()}
+        assert rows[1] == "en"
+        assert rows[5] == "es"
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        from payor_mdm_spark.operators.multimodal import MEDIA_SCHEMA
+
+        rows = [
+            ("m1", "image", "image/png", b"\x89PNGfake", (64, 48, None, None)),
+            ("m2", "image", "image/png", b"\x89PNGother", (32, 32, None, None)),
+            ("m3", "video", "video/mp4", b"\x00mp4fake", (640, 480, 3500, None)),
+            ("m4", "audio", "audio/wav", b"RIFFfake", (None, None, 2000, 16000)),
+        ]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_image_featurize_plumbing(self, media):
+        from payor_mdm_spark.operators.multimodal import decode_and_featurize_images
+
+        rows = {r.media_id: r for r in decode_and_featurize_images(media, dim=8).collect()}
+        assert set(rows) == {"m1", "m2"}
+        assert len(rows["m1"].features) == 8
+        assert rows["m1"].width == 64
+        # deterministic fake features
+        again = {r.media_id: r.features for r in
+                 decode_and_featurize_images(media, dim=8).collect()}
+        assert again["m1"] == rows["m1"].features
+
+    def test_strict_mode_raises(self, media):
+        import py4j.protocol
+        from payor_mdm_spark.operators.multimodal import decode_and_featurize_images
+
+        with pytest.raises(Exception):
+            decode_and_featurize_images(media, strict=True).collect()
+
+    def test_video_frame_sampling(self, media):
+        from payor_mdm_spark.operators.multimodal import sample_video_frames
+
+        frames = sample_video_frames(media, every_ms=1000).collect()
+        assert len(frames) == 3  # 3500ms -> 3 samples
+        assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 1, 2]
+
+    def test_media_stats(self, media):
+        from payor_mdm_spark.operators.multimodal import media_stats
+
+        stats = {r.kind: r.n for r in media_stats(media).collect()}
+        assert stats == {"image": 2, "video": 1, "audio": 1}
