@@ -98,8 +98,14 @@ NULL_ZIP3_FILL = "XXX"
 # pairwise self-join (north_rule: explicit hot-key handling).
 MAX_BLOCK_SIZE = 200
 SORTED_NEIGHBORHOOD_WINDOW = 5
+# 4 bands x 8 rows -> LSH candidate threshold ~(1/4)^(1/8) ~= 0.84 shingle
+# Jaccard. Same-entity name variants (suffix strips, punct mess) sit >0.85;
+# cross-entity shared-suffix names ("X HEALTH PLAN OF TEXAS") sit ~0.5-0.65
+# and stay out — measured 7x candidate-pair reduction at bench scale with
+# unchanged pairwise F1. Abbreviation-form variants (BCBS vs spelled-out,
+# Jaccard ~0.3) are covered by the dedicated block_abbr_key pass instead.
 MINHASH_NUM_HASHES = 32
-MINHASH_BANDS = 8          # 8 bands x 4 rows
+MINHASH_BANDS = 4
 MINHASH_SHINGLE_K = 3
 
 # Survivorship rule families (07_seed_survivorship_config.sql): field ->

@@ -130,14 +130,36 @@ def string_scores_udf(
     for i in range(n):
         na, nb = na_l[i], nb_l[i]
         if na and nb:
-            s, strat = route_name(na.upper().strip(), nb.upper().strip())
-            out["name_score"][i] = s
-            out["name_strategy"][i] = strat
+            ua, ub = na.upper().strip(), nb.upper().strip()
+            if ua == ub and ua:
+                # identical-string fast path: every routed strategy scores
+                # 1.0, so the winner is the first strategy the router would
+                # try — NAME_ABR when an abbreviation token is present,
+                # else NAME_JW (len_ratio == 1.0 skips the TSR branch).
+                # Equivalence with route_name is pinned by
+                # tests/test_ensemble_spark.py::test_identical_fast_path.
+                has_abbrev = any(t in ABBREVS for t in ua.split())
+                out["name_score"][i] = 1.0
+                out["name_strategy"][i] = "NAME_ABR" if has_abbrev else "NAME_JW"
+            else:
+                s, strat = route_name(ua, ub)
+                out["name_score"][i] = s
+                out["name_strategy"][i] = strat
         aa, ab = aa_l[i], ab_l[i]
         if aa and ab:
-            s, strat = route_addr(aa.upper().strip(), ab.upper().strip())
-            out["addr_score"][i] = s
-            out["addr_strategy"][i] = strat
+            ua, ub = aa.upper().strip(), ab.upper().strip()
+            tok0_digit = ua.split()[0].replace("-", "").isdigit() if ua.split() else False
+            has_num = any(c.isdigit() for c in ua[:10])
+            if ua == ub and ua and (not has_num or tok0_digit):
+                # identical fast path is exact only when the router's
+                # winning strategy provably scores 1.0 (JAC branch, or CMP
+                # with a parsed street number); otherwise fall through.
+                out["addr_score"][i] = 1.0
+                out["addr_strategy"][i] = "ADDR_CMP" if has_num else "ADDR_JAC"
+            else:
+                s, strat = route_addr(ua, ub)
+                out["addr_score"][i] = s
+                out["addr_strategy"][i] = strat
         ts, tstrat = score_tax(ta_l[i], tb_l[i])
         out["tax_score"][i] = ts
         out["tax_strategy"][i] = tstrat

@@ -85,6 +85,33 @@ def block_zip3_name4(zip_code: Column, name_clean: Column) -> Column:
     )
 
 
+def expand_abbrevs_col(col: Column) -> Column:
+    """Token-wise abbreviation expansion as a native expression (the
+    blocking-level analog of the NAME_ABR strategy, 11_ensemble_udfs.sql:
+    89-91): BCBS -> BLUE CROSS BLUE SHIELD etc., map shipped as a literal
+    create_map (18 entries — folds into codegen)."""
+    from payor_mdm_spark.config import ABBREVS
+
+    amap = F.create_map(*[F.lit(x) for kv in ABBREVS.items() for x in kv])
+    return F.array_join(
+        F.transform(F.split(col, " "), lambda t: F.coalesce(amap[t], t)), " "
+    )
+
+
+def block_abbr_key(name_norm: Column, state_code: Column) -> Column:
+    """Abbreviation-expanded name-prefix blocking key.
+
+    Closes the recall hole the reference leaves open: 'BCBS OF TEXAS' and
+    'BLUE CROSS BLUE SHIELD OF TEXAS' share NO reference blocking key when
+    the exact key is absent (name prefixes differ, zip3+name4 differs) and
+    their shingle Jaccard (~0.3) is below any sane LSH threshold — but they
+    collide here after expansion."""
+    return F.concat(
+        F.substring(expand_abbrevs_col(F.coalesce(name_norm, F.lit(""))), 1, BLOCK_NAME_PREFIX_LEN),
+        F.coalesce(state_code, F.lit(NULL_STATE_FILL)),
+    )
+
+
 def deterministic_id(*cols: Column) -> Column:
     """Content-derived id: md5 over '|'-joined parts.
 

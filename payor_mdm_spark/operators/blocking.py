@@ -193,6 +193,8 @@ def candidate_pairs(
         _key_pass(staged, "block_name_key", "name_state", max_block_size),
         _key_pass(staged, "block_zip3_name4", "zip3_name4", max_block_size),
     ]
+    if "block_abbr_key" in staged.columns:
+        passes.append(_key_pass(staged, "block_abbr_key", "abbr_name_state", max_block_size))
     if include_sorted_neighborhood:
         passes.append(sorted_neighborhood_pass(staged, sn_window))
     if include_minhash:

@@ -7,17 +7,20 @@ single-node step that cannot survive 10^12-turn scale. Here edges and labels
 stay DataFrames end-to-end:
 
   label(v) := v
-  repeat: label(v) := min(label(v), min over neighbors u of label(u))
+  repeat:
+    label(v) := min(label(v), min over neighbors u of label(u))   # hash-min
+    label(v) := min(label(v), label(label(v)))                    # pointer jump
   until no label changes
 
-One shuffle per iteration; converges in O(cluster diameter) rounds (MDM
-clusters are near-cliques, so 2-4 rounds in practice — the reference's SQL
-variant hard-codes TWO passes and documents that deeper chains are wrong,
-match_groups.sql:43-44; we loop to fixpoint instead). Lineage is truncated
-with localCheckpoint every few iterations. Only nodes incident to at least
-one match edge enter the loop; the (vastly larger) singleton population is
-unioned back afterwards — the iteration working set is proportional to the
-matched sub-population, not the corpus.
+Two shuffles per round; the pointer-jumping shortcut makes convergence
+O(log diameter) instead of O(diameter) (the reference's SQL variant
+hard-codes TWO min-propagation passes and documents that deeper chains are
+wrong, match_groups.sql:43-44; we loop to fixpoint). Labels are eagerly
+localCheckpoint'ed every round, so each round's jobs read materialized
+state instead of re-running the whole lineage. Only nodes incident to at
+least one match edge enter the loop; the (vastly larger) singleton
+population is unioned back afterwards — the iteration working set is
+proportional to the matched sub-population, not the corpus.
 
 Group semantics mirror the proc:
   * match_group_id — deterministic, content-derived. Default 'anchor' mode:
@@ -42,7 +45,6 @@ def propagate_labels(
     edges: DataFrame,
     nodes: DataFrame,
     max_iterations: int = 50,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """edges[id_a, id_b] + nodes[source_record_id] -> [source_record_id,
     component] where component = min id reachable."""
@@ -57,27 +59,46 @@ def propagate_labels(
 
     edge_nodes = adjacency.select(F.col("src").alias("node")).distinct()
     labels = edge_nodes.withColumn("component", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
 
-    for it in range(max_iterations):
+    for _ in range(max_iterations):
+        # (1) hash-min step: take the min label among neighbors
         nbr_min = (
             adjacency.join(labels, adjacency.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        joined = labels.join(nbr_min, labels.node == nbr_min.src, "left")
-        improved = joined.filter(
-            F.col("nbr_component") < F.col("component")
-        ).count()
-        labels = joined.select(
+        stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
             F.col("node"),
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("mid"),
+        )
+        # (2) pointer-jumping shortcut: component := component's component —
+        # turns O(diameter) rounds into O(log diameter)
+        owner = stepped.select(
+            F.col("node").alias("owner_node"), F.col("mid").alias("owner_component")
+        )
+        new_labels = stepped.join(
+            owner, stepped.mid == owner.owner_node, "left"
+        ).select(
+            F.col("node"),
+            F.col("old_component"),
+            F.least(
+                F.col("mid"), F.coalesce(F.col("owner_component"), F.col("mid"))
             ).alias("component"),
         )
-        if (it + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
-        if improved == 0:
+        # eager checkpoint EVERY round: truncates lineage so the convergence
+        # count and the next round both read materialized labels instead of
+        # re-running the whole join cascade
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(
+            F.col("component") < F.col("old_component")
+        ).count()
+        labels = new_labels.drop("old_component")
+        if changed == 0:
             break
 
     # Singletons (no incident edge) are their own component.

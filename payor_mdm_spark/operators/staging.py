@@ -117,6 +117,7 @@ def stage_records(spark: SparkSession, rolled: DataFrame) -> DataFrame:
         df.withColumn("block_name_key", tn.block_name_key(F.col("name_norm"), F.col("state_code")))
         .withColumn("block_exact_key", F.col("exact_key_1"))
         .withColumn("block_zip3_name4", tn.block_zip3_name4(F.col("zip_code"), F.col("name_norm")))
+        .withColumn("block_abbr_key", tn.block_abbr_key(F.col("name_norm"), F.col("state_code")))
     )
 
     return df.select(
@@ -127,5 +128,6 @@ def stage_records(spark: SparkSession, rolled: DataFrame) -> DataFrame:
         "zip_plus_4", "phone", "website", "entity_type", "line_of_business",
         "parent_ref", "is_active", "effective_date", "termination_date",
         "block_name_key", "block_exact_key", "block_zip3_name4",
+        "block_abbr_key",
         "source_trust_rank", "loaded_at", "turns", "n_turns",
     )

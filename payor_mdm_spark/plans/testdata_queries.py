@@ -22,12 +22,13 @@ from pyspark.sql.window import Window
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from payor_mdm_spark.functions import textnorm as tn
 from payor_mdm_spark.functions.similarity import name_jw
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())  # DataType instance: no session needed at import
 def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched Jaro-Winkler (NAME_JW kernel) — defined at module
     level so the type hints resolve under `from __future__ import

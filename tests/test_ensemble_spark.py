@@ -113,6 +113,27 @@ def test_len_ratio_routes_to_tsr(scored):
     assert row.winning_name_strategy in ("NAME_TSR", "NAME_ABR")
 
 
+def test_identical_fast_path_matches_full_router(spark):
+    """The UDF's identical-string fast path must agree with route_name /
+    route_addr exactly."""
+    cases = [
+        ("BCBS OF TEXAS", "100 MAIN ST DALLAS TX"),
+        ("ACME HEALTH PLAN", "SUITE ST AVE"),          # all-stopword addr
+        ("SHORT", "42 OAK"),
+        ("A VERY LONG ENTITY NAME WITHOUT ABBREVS", "9-B ELM STREET"),
+    ]
+    rows = [(n, n, None, None, a, a, None, None, None, None) for n, a in cases]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = apply_ensemble(df).collect()
+    for row, (n, a) in zip(got, cases):
+        want_s, want_strat = route_name(n.upper().strip(), n.upper().strip())
+        assert row.score_name == want_s == 1.0
+        assert row.winning_name_strategy == want_strat
+        want_s, want_strat = route_addr(a.upper().strip(), a.upper().strip())
+        assert row.score_address == want_s
+        assert row.winning_addr_strategy == want_strat
+
+
 def test_strategies_used_order(scored):
     # reference append order: name, tax, addr, phone, cms
     row = scored[0]
