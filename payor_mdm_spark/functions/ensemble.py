@@ -152,10 +152,17 @@ def string_scores_udf(
             has_num = any(c.isdigit() for c in ua[:10])
             if ua == ub and ua and (not has_num or tok0_digit):
                 # identical fast path is exact only when the router's
-                # winning strategy provably scores 1.0 (JAC branch, or CMP
-                # with a parsed street number); otherwise fall through.
-                out["addr_score"][i] = 1.0
-                out["addr_strategy"][i] = "ADDR_CMP" if has_num else "ADDR_JAC"
+                # winning strategy provably scores 1.0: CMP with a parsed
+                # street number, or JAC with a non-empty stopword-stripped
+                # token set (empty set -> Jaccard 0.0 in the reference,
+                # 11_ensemble_udfs.sql:503).
+                if has_num:
+                    out["addr_score"][i] = 1.0
+                    out["addr_strategy"][i] = "ADDR_CMP"
+                else:
+                    nonstop = bool(sim._addr_tokens(ua))
+                    out["addr_score"][i] = 1.0 if nonstop else 0.0
+                    out["addr_strategy"][i] = "ADDR_JAC"
             else:
                 s, strat = route_addr(ua, ub)
                 out["addr_score"][i] = s
