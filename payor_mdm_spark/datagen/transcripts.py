@@ -56,6 +56,24 @@ _STREET_NAMES = [
     "Spring", "Willow", "Meadow", "Forest", "Highland",
 ]
 _STREET_TYPES = ["Street", "Avenue", "Boulevard", "Drive", "Road", "Lane"]
+# syllables for faker-style diverse street/city words — the reference uses
+# faker street addresses; a tiny fixed vocabulary would make unrelated
+# addresses look ~0.7-JW-similar and (with tax+phone both absent) push
+# unrelated sibling names over the 0.85 composite threshold
+_SYLLABLES = [
+    "bar", "den", "fel", "gor", "ham", "kin", "lor", "mer", "nor", "pel",
+    "quin", "ros", "sil", "tor", "ul", "ver", "wex", "yor", "zan", "cal",
+    "dov", "ash", "bri", "cla", "oak", "thorn", "wick", "stan", "graf", "mil",
+]
+_CITY_SUFFIX = ["ton", "ville", "burg", "field", "port", "dale", "ford", "haven"]
+
+
+def _mk_word(rng: random.Random, n_syllables: int = 2) -> str:
+    return "".join(rng.choice(_SYLLABLES) for _ in range(n_syllables)).capitalize()
+
+
+def _mk_city(rng: random.Random) -> str:
+    return _mk_word(rng, 2) + rng.choice(_CITY_SUFFIX)
 _STREET_ABBREVS = {
     "Street": ["St", "St.", "Str"],
     "Avenue": ["Ave", "Ave.", "Av"],
@@ -74,6 +92,13 @@ _ORG_NOUN = [
     "Health Plan", "Health Partners", "Care Network", "Mutual Health",
     "Benefit Group", "Health Alliance", "Wellness Group", "Health Services",
     "Care Alliance", "Assurance Group",
+]
+_ORG_GEO = [
+    "Northern", "Southern", "Eastern", "Western", "Central", "Coastal",
+    "Valley", "Mountain", "Lakeshore", "Riverside", "Gulf", "Midland",
+    "Highland", "Lowland", "Upland", "Greater", "Metro", "Inland",
+    "Bayside", "Piedmont", "Plains", "Delta", "Cascadian", "Canyon",
+    "Prairieland",
 ]
 
 # Curated families exercising the abbreviation router branch (names built
@@ -224,10 +249,8 @@ def _mk_phone(rng: random.Random) -> str:
 
 
 def _mk_address(rng: random.Random) -> str:
-    return (
-        f"{rng.randint(100, 9999)} {rng.choice(_STREET_NAMES)} "
-        f"{rng.choice(_STREET_TYPES)}"
-    )
+    name = _mk_word(rng, 2) if rng.random() < 0.7 else rng.choice(_STREET_NAMES)
+    return f"{rng.randint(100, 9999)} {name} {rng.choice(_STREET_TYPES)}"
 
 
 def build_entities(rng: random.Random, n_entities: int = 65) -> list[Entity]:
@@ -249,7 +272,7 @@ def build_entities(rng: random.Random, n_entities: int = 65) -> list[Entity]:
                 name=name,
                 tax_id=tax,
                 state=st,
-                city=rng.choice(_CITY_WORDS),
+                city=_mk_city(rng) if rng.random() < 0.7 else rng.choice(_CITY_WORDS),
                 address=_mk_address(rng),
                 zip=_mk_zip(rng),
                 phone=_mk_phone(rng),
@@ -295,18 +318,28 @@ def build_entities(rng: random.Random, n_entities: int = 65) -> list[Entity]:
     si = 0
     while len(entities) < n_entities:
         fam_id = f"syn-{si:05d}"
-        # collision-free base name: enumerate the adj x noun grid, then a
-        # numeric suffix once the grid is exhausted (bench scale)
-        adj = _ORG_ADJ[si % len(_ORG_ADJ)]
-        noun = _ORG_NOUN[(si // len(_ORG_ADJ)) % len(_ORG_NOUN)]
-        gen = si // (len(_ORG_ADJ) * len(_ORG_NOUN))
-        base = f"{adj} {noun}" if gen == 0 else f"{adj} {noun} {gen}"
+        # collision-free base name from a geo x adj x noun grid (6,000
+        # bases; a second geo prefix extends it to 150,000 for bench-scale
+        # worlds). Distinct entities get names that differ in at least one
+        # content WORD — matching the reference world, where distinct
+        # payors have materially distinct names (payor_families.json) —
+        # rather than digit-suffix near-clones whose pairwise similarity
+        # would grow adversarial with world size.
+        geo = _ORG_GEO[si % len(_ORG_GEO)]
+        adj = _ORG_ADJ[(si // len(_ORG_GEO)) % len(_ORG_ADJ)]
+        noun = _ORG_NOUN[(si // (len(_ORG_GEO) * len(_ORG_ADJ))) % len(_ORG_NOUN)]
+        gen = si // (len(_ORG_GEO) * len(_ORG_ADJ) * len(_ORG_NOUN))
+        base = f"{geo} {adj} {noun}"
+        if gen > 0:
+            base = f"{_ORG_GEO[(gen - 1) % len(_ORG_GEO)]} {base}"
+            if gen > len(_ORG_GEO):
+                base = f"{base} {gen}"
         fam_tax = _mk_tax(rng)
         n_children = rng.randint(1, 3)
         parent_name = base if n_children > 1 and rng.random() < 0.4 else None
         if parent_name:
             add(parent_name, fam_id, parent_name=None, is_parent=True, tax=fam_tax)
-        used_states: set[str] = set()
+        used_states: set[str] = {entities[-1].state} if parent_name else set()
         for _ in range(n_children):
             if len(entities) >= n_entities:
                 break
@@ -494,7 +527,7 @@ def generate_world(
                  f"Orphan Plan {i}",
             tax_id=_mk_tax(rng),
             state=rng.choice(_STATES),
-            city=rng.choice(_CITY_WORDS),
+            city=_mk_city(rng),
             address=_mk_address(rng),
             zip=_mk_zip(rng),
             phone=_mk_phone(rng),

@@ -135,8 +135,14 @@ def minhash_signature(col: Column, num_hashes: int = MINHASH_NUM_HASHES,
     """Deterministic MinHash signature over char k-shingles, fully native:
     h_j(doc) = min over shingles of xxhash64(shingle, j)."""
     sh = _shingles(col, k)
+
+    def hasher(seed: int):
+        # closure factory keeps the lambda UNARY — a second parameter
+        # (even a defaulted one) makes F.transform pass the element index
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(num_hashes)]
+        *[F.array_min(F.transform(sh, hasher(j))) for j in range(num_hashes)]
     )
 
 

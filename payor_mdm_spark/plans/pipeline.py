@@ -88,6 +88,10 @@ def run_pipeline(
     staged = stage(
         "staged", lambda: stage_records(spark, rollup_conversations(turns))
     )
+    # staged is scanned by every blocking pass and both sides of the scoring
+    # rehydration join — cache the committed snapshot
+    staged = staged.cache()
+    result.tables["staged"] = staged
     pairs = stage(
         "blocking_pairs",
         lambda: candidate_pairs(staged, max_block_size=max_block),
