@@ -130,11 +130,11 @@ def _shingles(col: Column, k: int) -> Column:
     ).otherwise(F.array(padded))
 
 
-def minhash_signature(col: Column, num_hashes: int = MINHASH_NUM_HASHES,
-                      k: int = MINHASH_SHINGLE_K) -> Column:
-    """Deterministic MinHash signature over char k-shingles, fully native:
-    h_j(doc) = min over shingles of xxhash64(shingle, j)."""
-    sh = _shingles(col, k)
+def signature_from_shingles(sh: Column, num_hashes: int) -> Column:
+    """MinHash signature from an ALREADY MATERIALIZED shingle array column:
+    h_j(doc) = min over shingles of xxhash64(shingle, j). Pass a real column
+    reference, not the shingle expression — otherwise Catalyst inlines the
+    shingling num_hashes times."""
 
     def hasher(seed: int):
         # closure factory keeps the lambda UNARY — a second parameter
@@ -143,6 +143,34 @@ def minhash_signature(col: Column, num_hashes: int = MINHASH_NUM_HASHES,
 
     return F.array(
         *[F.array_min(F.transform(sh, hasher(j))) for j in range(num_hashes)]
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = MINHASH_NUM_HASHES,
+                      k: int = MINHASH_SHINGLE_K) -> Column:
+    """Deterministic MinHash signature over char k-shingles, fully native.
+
+    NOTE: prefer materializing the shingle array in a separate projection
+    and calling signature_from_shingles — this convenience form repeats the
+    shingling expression per hash function."""
+    return signature_from_shingles(_shingles(col, k), num_hashes)
+
+
+def _with_signature(df: DataFrame, text_col: str, num_hashes: int, k: int) -> DataFrame:
+    """[..., text_col] -> [..., _sig], shingles materialized once and the
+    input repartitioned so the (CPU-heavy) signature projection parallelizes
+    even when the source scan has few input splits."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("_sh", _shingles(F.col(text_col), k))
+        # the exchange between shingling and hashing is deliberate: it is a
+        # CollapseProject barrier (otherwise Catalyst inlines the shingle
+        # expression into all num_hashes array_min calls) AND it spreads the
+        # CPU-heavy hashing across all cores even when the source scan has
+        # one input split
+        .repartition(parallelism)
+        .withColumn("_sig", signature_from_shingles(F.col("_sh"), num_hashes))
+        .drop("_sh")
     )
 
 
@@ -160,9 +188,15 @@ def minhash_lsh_pass(
     salting as key passes.
     """
     rows_per_band = num_hashes // bands
-    sig = staged.filter(
+    base = staged.filter(
         F.col("name_norm").isNotNull() & (F.length("name_norm") > 0)
-    ).select(F.col(_ID), minhash_signature(F.col("name_norm"), num_hashes).alias("_sig"))
+    ).select(F.col(_ID), F.col("name_norm"))
+    # eager materialization: the banded members feed the block-count
+    # aggregation AND both sides of the pair self-join — otherwise the
+    # (CPU-heavy) signature lineage re-executes up to 4x
+    sig = _with_signature(base, "name_norm", num_hashes, MINHASH_SHINGLE_K).select(
+        F.col(_ID), F.col("_sig")
+    ).localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(

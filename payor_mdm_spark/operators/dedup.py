@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from payor_mdm_spark.operators.blocking import _pairs_within_blocks, minhash_signature
+from payor_mdm_spark.operators.blocking import _pairs_within_blocks, _with_signature
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -107,10 +107,13 @@ def minhash_dedup_pairs(
     Output: [id_a, id_b, jaccard] with id_a < id_b and jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("source_record_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
-    )
+    # eager materialization: the banded members feed the block-count
+    # aggregation AND both self-join sides; a lazy cache inside one action
+    # still re-executes the (CPU-heavy) signature projection per branch
+    base = _with_signature(
+        docs.select(F.col(id_col).alias("source_record_id"), F.col(text_col)),
+        text_col, num_hashes, shingle_k,
+    ).select("source_record_id", "_sig").localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(
@@ -135,19 +138,39 @@ def minhash_dedup_pairs(
             F.col("source_record_id_b").alias("id_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # verify with exact char-shingle Jaccard (same shingles as signature)
+    # two-stage verification:
+    # (1) cheap signature-agreement estimate (64 int comparisons/pair) —
+    #     an unbiased MinHash estimator of Jaccard — prunes the candidate
+    #     set well below the target threshold;
+    # (2) exact char-shingle Jaccard (the expensive ~O(|doc|) set ops) only
+    #     for pairs whose estimate is within reach of the threshold.
+    sa = base.select(F.col("source_record_id").alias("id_a"), F.col("_sig").alias("_siga"))
+    sb = base.select(F.col("source_record_id").alias("id_b"), F.col("_sig").alias("_sigb"))
+    agree = F.size(
+        F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(num_hashes))
+    margin = 1.5 / (num_hashes ** 0.5)  # ~3 sigma of the estimator (sd <= 0.5/sqrt(n))
+    survivors = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_est", agree)
+        .filter(F.col("_est") >= jaccard_threshold - margin)
+        .select("id_a", "id_b")
+    )
+
     from payor_mdm_spark.operators.blocking import _shingles
 
     sh = docs.select(
         F.col(id_col), F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("_g")
-    )
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
     union = F.size(F.array_union("_ga", "_gb")).cast("double")
     return (
-        cands.join(a, "id_a")
+        survivors.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -155,15 +178,13 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_col(text_col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over word tokens, fully native.
+def _simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from an ALREADY MATERIALIZED token-hash array column.
 
     For each bit position b: sum over tokens of (+1 if bit b of
     xxhash64(token) else -1); simhash bit b = (sum > 0). Computed via
-    aggregate over the token array — no UDF, deterministic.
+    aggregate over the array — no UDF, deterministic.
     """
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def mask(b: int) -> Column:
         # shiftleft instead of a python literal: 1 << 63 overflows JVM long
@@ -183,6 +204,18 @@ def simhash_col(text_col: Column, bits: int = 64) -> Column:
     return sim
 
 
+def token_hashes_col(text_col: Column) -> Column:
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def simhash_col(text_col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens. NOTE: prefer materializing the
+    token-hash array first (see simhash_candidate_pairs) — this convenience
+    form repeats the tokenize+hash expression per bit."""
+    return _simhash_from_hashes(token_hashes_col(text_col), bits)
+
+
 def simhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -192,8 +225,20 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidates: documents sharing any 16-bit SimHash band
     (guarantees recall of all pairs with Hamming distance < bands)."""
-    sh = docs.select(F.col(id_col).alias("source_record_id"),
-                     simhash_col(F.col(text_col)).alias("_sh"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.select(
+            F.col(id_col).alias("source_record_id"),
+            token_hashes_col(F.col(text_col)).alias("_th"),
+        )
+        # exchange = CollapseProject barrier: without it the tokenize+hash
+        # expression inlines into all 64 bit aggregates
+        .repartition(parallelism)
+        .select(
+            "source_record_id", _simhash_from_hashes(F.col("_th")).alias("_sh")
+        )
+        .localCheckpoint(eager=True)
+    )
     width = 64 // bands
     band_structs = F.array(
         *[

@@ -790,7 +790,7 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.concat("text", F.lit(" tail")).alias("text"),
         )
     )
-    return minhash_dedup_pairs(corpus, jaccard_threshold=0.6)
+    return minhash_dedup_pairs(corpus, jaccard_threshold=0.8)
 
 
 @query("dedup_simhash")  # xxhash64-seeded — no SQL oracle (rows-only)
