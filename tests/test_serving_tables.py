@@ -1,0 +1,106 @@
+"""Serving-side tables: survivorship-config MERGE seed, steward write-back,
+audit log, strategy telemetry, legacy v1 kernel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.functions.fuzzy_v1 import fuzzy_score_v1
+from payor_mdm_spark.sources.catalog import CheckpointStore
+from payor_mdm_spark.sources.steward import (
+    read_steward_decisions,
+    record_steward_decision,
+    seed_survivorship_config,
+    strategy_performance,
+)
+
+
+class TestSurvivorshipConfigSeed:
+    def test_merge_upsert_idempotent(self, spark, tmp_path):
+        store = CheckpointStore(spark, str(tmp_path))
+        first = seed_survivorship_config(spark, store)
+        n = first.count()
+        again = seed_survivorship_config(spark, store)
+        assert again.count() == n  # idempotent
+
+    def test_override_updates_matched_row(self, spark, tmp_path):
+        store = CheckpointStore(spark, str(tmp_path))
+        seed_survivorship_config(spark, store)
+        updated = seed_survivorship_config(
+            spark, store, overrides={"phone": "source_priority"}
+        )
+        rule = {r.field_name: r.rule for r in updated.collect()}
+        assert rule["phone"] == "source_priority"
+        assert rule["city"] == "most_recent"
+
+
+class TestStewardWriteBack:
+    def test_append_and_latest_wins(self, spark, tmp_path):
+        store = CheckpointStore(spark, str(tmp_path))
+        record_steward_decision(
+            spark, store, "cand1", "confirmed_match", "alice",
+            decided_at="2026-01-01 10:00:00",
+        )
+        record_steward_decision(
+            spark, store, "cand1", "confirmed_no_match", "bob",
+            decided_at="2026-01-02 10:00:00",
+        )
+        latest = read_steward_decisions(store)
+        rows = {r.candidate_id: r for r in latest.collect()}
+        assert rows["cand1"].steward_decision == "confirmed_no_match"
+        assert rows["cand1"].steward_user == "bob"
+        # audit log is append-only: both changes recorded
+        audit = store.read("mdm_change_log")
+        assert audit.count() == 2
+
+    def test_invalid_decision_rejected(self, spark, tmp_path):
+        store = CheckpointStore(spark, str(tmp_path))
+        with pytest.raises(ValueError):
+            record_steward_decision(spark, store, "c", "maybe", "alice")
+
+
+class TestStrategyPerformance:
+    def test_rollup(self, spark, pipeline_run):
+        cand = pipeline_run["res"].tables["match_candidates"]
+        perf = strategy_performance(cand)
+        rows = {r.strategy: r for r in perf.collect()}
+        assert "TIN_EXACT" in rows
+        assert all(r.times_used > 0 for r in rows.values())
+        total_used = sum(r.times_used for r in rows.values())
+        assert total_used >= cand.count()  # every pair uses >= 1 strategy
+
+
+class TestFuzzyV1Oracle:
+    def test_full_fields(self):
+        r = fuzzy_score_v1(
+            "Acme Health", "ACME HEALTH", "12-1", "121",
+            "1 Main St", "1 Main Street", "415-555-1234", "4155551234",
+            "H1", "h1",
+        )
+        assert r["name"] == pytest.approx(1.0)
+        assert r["tax_id"] == 0.0  # v1 compares RAW strings, no digit scrub
+        assert r["address"] == pytest.approx(1.0)
+        assert r["phone"] == 1.0
+        assert r["cms_plan_id"] == 1.0
+        want = (0.35 * 1.0 + 0.25 * 0 + 0.2 * 1 + 0.1 * 1 + 0.1 * 1) / 1.0
+        assert r["composite"] == pytest.approx(round(want, 4))
+
+    def test_renormalization_over_present(self):
+        r = fuzzy_score_v1("A", "A", None, None, None, None, None, None, None, None)
+        assert r["composite"] == 1.0
+
+    def test_no_fields(self):
+        r = fuzzy_score_v1(*([None] * 10))
+        assert r["composite"] == 0.0
+
+
+class TestAuditLog:
+    def test_golden_snapshot_diff(self, spark):
+        from payor_mdm_spark.plans.pipeline import audit_log
+
+        old = spark.createDataFrame([("a",), ("b",)], "master_entity_id string")
+        new = spark.createDataFrame([("b",), ("c",)], "master_entity_id string")
+        log = {r.entity_key: r.change_type for r in
+               audit_log(old, new, "master_entity_id", "2026-01-01 00:00:00").collect()}
+        assert log == {"a": "delete", "b": "update", "c": "insert"}
+        first = audit_log(None, new, "master_entity_id", "2026-01-01 00:00:00")
+        assert {r.change_type for r in first.collect()} == {"insert"}
