@@ -30,6 +30,8 @@ max in insertion order) match the reference exactly:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -54,8 +56,15 @@ STRING_SCORES_SCHEMA = StructType(
 )
 
 
+@lru_cache(maxsize=1 << 16)
 def route_name(a: str, b: str) -> tuple[float, str]:
-    """Name-strategy router on already upper/stripped inputs."""
+    """Name-strategy router on already upper/stripped inputs.
+
+    Memoized: a record participates in many candidate pairs, so the same
+    (a, b) name pair recurs within a Python worker (workers are reused
+    across Arrow batches); the per-name sub-kernels (expansion, metaphone,
+    trigram counters) are additionally memoized in functions/similarity.py.
+    """
     has_abbrev = any(t in ABBREVS for t in a.split()) or any(
         t in ABBREVS for t in b.split()
     )
@@ -82,6 +91,7 @@ def route_name(a: str, b: str) -> tuple[float, str]:
     return results[winner], winner
 
 
+@lru_cache(maxsize=1 << 16)
 def route_addr(a: str, b: str) -> tuple[float, str]:
     has_num = any(c.isdigit() for c in a[:10]) and any(c.isdigit() for c in b[:10])
     results: dict[str, float] = {}

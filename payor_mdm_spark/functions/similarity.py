@@ -26,6 +26,7 @@ import math
 import re
 from collections import Counter
 from difflib import SequenceMatcher
+from functools import lru_cache
 
 from payor_mdm_spark.config import ABBREVS, ADDR_STOPS, STREET_NORMS
 
@@ -100,12 +101,18 @@ def name_jw(a: str, b: str) -> float:
     return round(jaro_winkler(a, b), 4)
 
 
+@lru_cache(maxsize=1 << 16)
+def _token_sorted(s: str) -> str:
+    return " ".join(sorted(s.split()))
+
+
 def token_sort_ratio(a: str, b: str) -> float:
-    sa = " ".join(sorted(a.split()))
-    sb = " ".join(sorted(b.split()))
-    return round(SequenceMatcher(None, sa, sb).ratio(), 4)
+    return round(
+        SequenceMatcher(None, _token_sorted(a), _token_sorted(b)).ratio(), 4
+    )
 
 
+@lru_cache(maxsize=1 << 16)
 def expand_abbrevs(name: str) -> str:
     return " ".join(ABBREVS.get(t, t) for t in name.split())
 
@@ -118,12 +125,18 @@ def _ngrams(s: str, n: int = 3) -> list[str]:
     return [s[i : i + n] for i in range(len(s) - n + 1)] if len(s) >= n else [s]
 
 
+@lru_cache(maxsize=1 << 16)
+def _trigram_profile(s: str) -> tuple[Counter, float]:
+    c = Counter(_ngrams(s))
+    return c, math.sqrt(sum(v * v for v in c.values()))
+
+
 def trigram_cosine(a: str, b: str) -> float:
-    ga, gb = Counter(_ngrams(a)), Counter(_ngrams(b))
-    common = set(ga) & set(gb)
-    dot = sum(ga[g] * gb[g] for g in common)
-    ma = math.sqrt(sum(v * v for v in ga.values()))
-    mb = math.sqrt(sum(v * v for v in gb.values()))
+    ga, ma = _trigram_profile(a)
+    gb, mb = _trigram_profile(b)
+    if len(gb) < len(ga):
+        ga, gb = gb, ga
+    dot = sum(v * gb[g] for g, v in ga.items() if g in gb)
     return round(dot / (ma * mb), 4) if ma and mb else 0.0
 
 

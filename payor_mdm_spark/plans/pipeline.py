@@ -62,6 +62,8 @@ def run_pipeline(
     max_block = max_block_size or MAX_BLOCK_SIZE
     result = RunResult(tables={})
 
+    partition_rows: list = []
+
     def stage(name: str, build):
         t0 = time.time()
         if resume and store.exists(name):
@@ -74,10 +76,21 @@ def run_pipeline(
             skipped = False
         result.tables[name] = df
         if collect_metrics:
+            # per-partition lineage (north_rule): file-level row counts of
+            # the committed snapshot — a map-side count, no extra shuffle
+            parts = (
+                df.groupBy(F.spark_partition_id().alias("partition_id"))
+                .count()
+                .collect()
+            )
+            for prow in parts:
+                partition_rows.append(
+                    (name, int(prow["partition_id"]), int(prow["count"]), run_ts)
+                )
             result.metrics.append(
                 {
                     "stage": name,
-                    "rows": df.count(),
+                    "rows": sum(p["count"] for p in parts),
                     "seconds": round(time.time() - t0, 3),
                     "skipped": skipped,
                     "run_ts": run_ts,
@@ -121,6 +134,11 @@ def run_pipeline(
             "stage string, rows long, seconds double, skipped boolean, run_ts string",
         )
         store.write("run_metrics", metrics_df)
+        partition_df = spark.createDataFrame(
+            partition_rows,
+            "stage string, partition_id int, rows long, run_ts string",
+        )
+        store.write("partition_metrics", partition_df)
     return result
 
 
