@@ -30,8 +30,6 @@ max in insertion order) match the reference exactly:
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +40,7 @@ from pyspark.sql.types import (
 
 from payor_mdm_spark.config import ABBREVS, FIELD_WEIGHTS
 from payor_mdm_spark.functions import similarity as sim
+from payor_mdm_spark.functions.similarity import _kernel_cache
 from payor_mdm_spark.functions.phonetic import phonetic_equal
 
 STRING_SCORES_SCHEMA = StructType(
@@ -56,7 +55,7 @@ STRING_SCORES_SCHEMA = StructType(
 )
 
 
-@lru_cache(maxsize=1 << 16)
+@_kernel_cache
 def route_name(a: str, b: str) -> tuple[float, str]:
     """Name-strategy router on already upper/stripped inputs.
 
@@ -91,7 +90,7 @@ def route_name(a: str, b: str) -> tuple[float, str]:
     return results[winner], winner
 
 
-@lru_cache(maxsize=1 << 16)
+@_kernel_cache
 def route_addr(a: str, b: str) -> tuple[float, str]:
     has_num = any(c.isdigit() for c in a[:10]) and any(c.isdigit() for c in b[:10])
     results: dict[str, float] = {}
@@ -137,6 +136,13 @@ def string_scores_udf(
     na_l, nb_l = name_a.tolist(), name_b.tolist()
     aa_l, ab_l = addr_a.tolist(), addr_b.tolist()
     ta_l, tb_l = tax_a.tolist(), tax_b.tolist()
+    # per-batch memos: repeated (a, b) pairs within one Arrow batch are
+    # common (a record's candidate pairs are adjacent after the repartition
+    # on id_a); the dicts die with the batch, so the working set stays hot
+    # and bounded (see _kernel_cache docstring for why cross-batch caches
+    # are default-off)
+    name_memo: dict = {}
+    addr_memo: dict = {}
     for i in range(n):
         na, nb = na_l[i], nb_l[i]
         if na and nb:
@@ -152,9 +158,12 @@ def string_scores_udf(
                 out["name_score"][i] = 1.0
                 out["name_strategy"][i] = "NAME_ABR" if has_abbrev else "NAME_JW"
             else:
-                s, strat = route_name(ua, ub)
-                out["name_score"][i] = s
-                out["name_strategy"][i] = strat
+                key = (ua, ub)
+                hit = name_memo.get(key)
+                if hit is None:
+                    hit = route_name(ua, ub)
+                    name_memo[key] = hit
+                out["name_score"][i], out["name_strategy"][i] = hit
         aa, ab = aa_l[i], ab_l[i]
         if aa and ab:
             ua, ub = aa.upper().strip(), ab.upper().strip()
@@ -174,9 +183,12 @@ def string_scores_udf(
                     out["addr_score"][i] = 1.0 if nonstop else 0.0
                     out["addr_strategy"][i] = "ADDR_JAC"
             else:
-                s, strat = route_addr(ua, ub)
-                out["addr_score"][i] = s
-                out["addr_strategy"][i] = strat
+                key = (ua, ub)
+                hit = addr_memo.get(key)
+                if hit is None:
+                    hit = route_addr(ua, ub)
+                    addr_memo[key] = hit
+                out["addr_score"][i], out["addr_strategy"][i] = hit
         ts, tstrat = score_tax(ta_l[i], tb_l[i])
         out["tax_score"][i] = ts
         out["tax_strategy"][i] = tstrat

@@ -26,11 +26,31 @@ import math
 import re
 from collections import Counter
 from difflib import SequenceMatcher
-from functools import lru_cache
 
 from payor_mdm_spark.config import ABBREVS, ADDR_STOPS, STREET_NORMS
 
 _DIGITS_RE = re.compile(r"[^0-9]")
+
+
+def _kernel_cache(fn):
+    """Optional cross-batch lru_cache, sized by PAYOR_MDM_KERNEL_CACHE.
+
+    DEFAULT OFF: measured on 32 concurrent workers, cross-batch caches of
+    string-keyed results turn the kernels from tight cache-resident loops
+    into random DRAM probes — 4M-distinct-pair scoring collapsed from 163k
+    pairs/s (no cache) to 43k pairs/s (8k-entry caches) at local[32], while
+    scaling 8->32 went from 2.45x to inverse. Within-batch repetition (the
+    real win: a record's ~20 candidate pairs are adjacent after the
+    repartition on id_a) is captured instead by PER-BATCH dict memos inside
+    the pandas UDF (functions/ensemble.py), whose working set stays young
+    and bounded by the Arrow batch.
+    """
+    import os
+    from functools import lru_cache as _lru
+
+    size = int(os.environ.get("PAYOR_MDM_KERNEL_CACHE", "0"))
+    return _lru(maxsize=size)(fn) if size > 0 else fn
+
 
 
 def digits_only(s: str | None) -> str:
@@ -101,7 +121,7 @@ def name_jw(a: str, b: str) -> float:
     return round(jaro_winkler(a, b), 4)
 
 
-@lru_cache(maxsize=1 << 16)
+@_kernel_cache
 def _token_sorted(s: str) -> str:
     return " ".join(sorted(s.split()))
 
@@ -112,7 +132,7 @@ def token_sort_ratio(a: str, b: str) -> float:
     )
 
 
-@lru_cache(maxsize=1 << 16)
+@_kernel_cache
 def expand_abbrevs(name: str) -> str:
     return " ".join(ABBREVS.get(t, t) for t in name.split())
 
@@ -125,7 +145,7 @@ def _ngrams(s: str, n: int = 3) -> list[str]:
     return [s[i : i + n] for i in range(len(s) - n + 1)] if len(s) >= n else [s]
 
 
-@lru_cache(maxsize=1 << 16)
+@_kernel_cache
 def _trigram_profile(s: str) -> tuple[Counter, float]:
     c = Counter(_ngrams(s))
     return c, math.sqrt(sum(v * v for v in c.values()))

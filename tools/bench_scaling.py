@@ -42,9 +42,10 @@ spark = get_spark(app_name=f"score{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus, 16))
 spark.sparkContext.setLogLevel("ERROR")
 # non-identical names/addresses: forces the full JW/TSR/NGR + CMP/NRM path
+# fully distinct names: no memo-cache artifacts, per-pair JW dominates
 df = spark.range(n).repartition(max(cpus, 16)).select(
-    F.concat(F.lit("ENTITY HEALTH PLAN NUMBER "), (F.col("id") % 99991).cast("string")).alias("name_a"),
-    F.concat(F.lit("ENTITY HELTH PLAN NUMBR "), ((F.col("id")+1) % 99991).cast("string")).alias("name_b"),
+    F.concat(F.lit("ENTITY HEALTH PLAN NUMBER "), F.col("id").cast("string")).alias("name_a"),
+    F.concat(F.lit("ENTITY HELTH PLAN NUMBR "), (F.col("id")+1).cast("string")).alias("name_b"),
     F.concat(F.lit("123 MAPLE ST SPRINGFIELD IL 627"), (F.col("id")%100).cast("string")).alias("addr_a"),
     F.concat(F.lit("123 MAPLE STREET SPRINGFLD IL 627"), ((F.col("id")+7)%100).cast("string")).alias("addr_b"),
     (F.col("id")%1000000007).cast("string").alias("exact_key_1_a"),
@@ -101,7 +102,7 @@ def run_snippet(snippet: str, args: list[str]) -> dict:
 
 
 def main() -> None:
-    score_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    score_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n_entities = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
 
     import tempfile
@@ -113,16 +114,25 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="scaling_world_")
     turns_path, _ = write_world(world, d)
 
-    results: dict = {}
+    # interleaved repeats + best-of: the sandbox shares CPUs, so single
+    # wall-clock samples are noisy; best-of-2 per config with alternating
+    # order controls for drift
+    score_runs: dict[int, list] = {8: [], 32: []}
+    pipe_runs: dict[int, list] = {8: [], 32: []}
+    for _ in range(2):
+        for cpus in (8, 32):
+            r = run_snippet(SCORE_SNIPPET, [str(cpus), str(score_pairs)])
+            score_runs[cpus].append(r)
+            print(f"score local[{cpus}]: {r}", file=sys.stderr)
     for cpus in (8, 32):
-        results[f"score{cpus}"] = run_snippet(SCORE_SNIPPET, [str(cpus), str(score_pairs)])
-        print(f"score local[{cpus}]: {results[f'score{cpus}']}", file=sys.stderr)
-    for cpus in (8, 32):
-        results[f"pipe{cpus}"] = run_snippet(PIPELINE_SNIPPET, [str(cpus), turns_path])
-        print(f"pipeline local[{cpus}]: {results[f'pipe{cpus}']}", file=sys.stderr)
+        r = run_snippet(PIPELINE_SNIPPET, [str(cpus), turns_path])
+        pipe_runs[cpus].append(r)
+        print(f"pipeline local[{cpus}]: {r}", file=sys.stderr)
 
-    s8, s32 = results["score8"], results["score32"]
-    p8, p32 = results["pipe8"], results["pipe32"]
+    s8 = min(score_runs[8], key=lambda r: r["seconds"])
+    s32 = min(score_runs[32], key=lambda r: r["seconds"])
+    p8 = min(pipe_runs[8], key=lambda r: r["seconds"])
+    p32 = min(pipe_runs[32], key=lambda r: r["seconds"])
     score_speedup = s8["seconds"] / s32["seconds"]
     score_eff = score_speedup / 4.0
     pipe_speedup = p8["seconds"] / p32["seconds"]
