@@ -403,6 +403,66 @@ def score_det_rules(spark, sf_dir):
     return pairs.groupBy(rule.alias("match_rule")).agg(F.count(F.lit(1)).alias("n"))
 
 
+@query(
+    "score_tax_transpose",
+    """
+    with p as (
+      select c_custkey as id_a,
+             lpad(cast(c_custkey % 999999937 as varchar), 9, '0') as tax_a,
+             case when c_custkey % 2 = 0 then
+               substring(lpad(cast(c_custkey % 999999937 as varchar), 9, '0'), 1, 3)
+               || substring(lpad(cast(c_custkey % 999999937 as varchar), 9, '0'), 5, 1)
+               || substring(lpad(cast(c_custkey % 999999937 as varchar), 9, '0'), 4, 1)
+               || substring(lpad(cast(c_custkey % 999999937 as varchar), 9, '0'), 6, 4)
+             else lpad(cast(c_custkey % 999999937 as varchar), 9, '0') end as tax_b
+      from customer
+    ), d as (
+      select id_a, tax_a, tax_b,
+        (case when substring(tax_a,1,1) <> substring(tax_b,1,1) then 1 else 0 end
+       + case when substring(tax_a,2,1) <> substring(tax_b,2,1) then 1 else 0 end
+       + case when substring(tax_a,3,1) <> substring(tax_b,3,1) then 1 else 0 end
+       + case when substring(tax_a,4,1) <> substring(tax_b,4,1) then 1 else 0 end
+       + case when substring(tax_a,5,1) <> substring(tax_b,5,1) then 1 else 0 end
+       + case when substring(tax_a,6,1) <> substring(tax_b,6,1) then 1 else 0 end
+       + case when substring(tax_a,7,1) <> substring(tax_b,7,1) then 1 else 0 end
+       + case when substring(tax_a,8,1) <> substring(tax_b,8,1) then 1 else 0 end
+       + case when substring(tax_a,9,1) <> substring(tax_b,9,1) then 1 else 0 end) as diffs
+      from p
+    )
+    select id_a,
+      case when diffs = 0 then 1.0
+           when diffs <= 1 then 0.9
+           when diffs = 2 then 0.7
+           else 0.0 end::double as tax_score
+    from d
+    """,
+)
+def score_tax_transpose(spark, sf_dir):
+    """TAXID_TRANSPOSE kernel (U12) through the REAL ensemble pandas UDF,
+    oracle-checked via positional digit comparison in SQL."""
+    from payor_mdm_spark.functions.ensemble import apply_ensemble
+
+    c = _t(spark, sf_dir, "customer")
+    tax_a = F.lpad((F.col("c_custkey") % 999999937).cast("string"), 9, "0")
+    swapped = F.concat(
+        F.substring(tax_a, 1, 3), F.substring(tax_a, 5, 1),
+        F.substring(tax_a, 4, 1), F.substring(tax_a, 6, 4),
+    )
+    null_s = F.lit(None).cast("string")
+    pairs = c.select(
+        F.col("c_custkey").alias("id_a"),
+        null_s.alias("name_a"), null_s.alias("name_b"),
+        null_s.alias("addr_a"), null_s.alias("addr_b"),
+        tax_a.alias("exact_key_1_a"),
+        F.when(F.col("c_custkey") % 2 == 0, swapped).otherwise(tax_a).alias("exact_key_1_b"),
+        null_s.alias("phone_a"), null_s.alias("phone_b"),
+        null_s.alias("exact_key_2_a"), null_s.alias("exact_key_2_b"),
+    )
+    return apply_ensemble(pairs).select(
+        "id_a", F.col("score_exact_key_1").alias("tax_score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Clustering (SURVEY §2.8 U20: distributed label propagation)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,71 @@
+"""Telemetry rollups + the spark-submit job entry point."""
+
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.config import MAX_BLOCK_SIZE
+from payor_mdm_spark.operators.telemetry import (
+    block_size_stats,
+    decision_funnel,
+    pair_yield_by_pass,
+)
+
+
+def test_block_size_stats(pipeline_run):
+    staged = pipeline_run["res"].tables["staged"]
+    stats = {r.block_key: r for r in
+             block_size_stats(staged, MAX_BLOCK_SIZE).collect()}
+    assert set(stats) == {
+        "block_exact_key", "block_name_key", "block_zip3_name4", "block_abbr_key",
+    }
+    for r in stats.values():
+        assert r.n_blocks > 0
+        assert r.max_block_size >= r.p50_block_size
+        assert r.presalt_pairs >= 0
+
+
+def test_pair_yield_by_pass(pipeline_run):
+    pairs = pipeline_run["res"].tables["blocking_pairs"]
+    yields = {r.block_pass: r for r in pair_yield_by_pass(pairs).collect()}
+    assert "exact_key" in yields
+    assert "minhash_lsh" in yields
+    total = pairs.count()
+    for r in yields.values():
+        assert 0 < r.pairs  # every pass contributes
+        assert 0 <= r.exclusive_pairs <= r.pairs <= total
+
+
+def test_decision_funnel(pipeline_run):
+    cand = pipeline_run["res"].tables["match_candidates"]
+    funnel = decision_funnel(cand).collect()
+    assert sum(r.pairs for r in funnel) == cand.count()
+    det_rows = [r for r in funnel if r.match_rule.startswith("DET")]
+    assert all(r.auto_decision == "auto_match" for r in det_rows)
+
+
+def test_run_pipeline_cli(tmp_path, spark):
+    """jobs/run_pipeline.py end-to-end via its main() (the spark-submit
+    surface), generating a small world and writing checkpoints."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_pipeline import main
+
+    out = str(tmp_path / "run")
+    rc = main(["--generate", "30", "--output", out])
+    assert rc == 0
+    golden = spark.read.parquet(out + "/golden")
+    assert golden.count() > 0
+    # resume path: second invocation skips completed stages and succeeds
+    rc = main(["--generate", "30", "--output", out, "--resume"])
+    assert rc == 0
+
+
+def test_package_zip(tmp_path):
+    from tools.package import build
+
+    path = build(out_dir=str(tmp_path))
+    import zipfile
+
+    names = zipfile.ZipFile(path).namelist()
+    assert "payor_mdm_spark/__init__.py" in names
+    assert any(n.startswith("payor_mdm_spark/operators/") for n in names)
