@@ -150,6 +150,83 @@ def lsh_topk(
     )
 
 
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """IVF coarse quantizer: k-means centroids via pyspark.ml (seeded,
+    deterministic). Returns a plain list of (centroid_id, vector) — small
+    by construction, shipped broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
+def _nearest_centroids(vec: Column, centroids: list, n_probe: int) -> Column:
+    """Ids of the n_probe closest centroids (by cosine), as a native
+    array expression over the broadcast centroid literals."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_col(vec, F.array(*[F.lit(x) for x in cvec])).alias("s"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return F.transform(top, lambda t: t["c"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus rows are assigned to their nearest
+    centroid cell; each query scores only the rows in its n_probe nearest
+    cells. The classic coarse-quantization scale path: cells partition the
+    corpus, so a query touches ~n_probe/n_centroids of the data, and the
+    cell assignment is a pure map (no shuffle beyond the cohort join)."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
+
+    c_cells = c.withColumn(
+        "_cell", _nearest_centroids(F.col("_cv"), centroids, 1)[0]
+    )
+    q_cells = q.withColumn(
+        "_cell", F.explode(_nearest_centroids(F.col("_qv"), centroids, n_probe))
+    )
+    cohort = c_cells.join(F.broadcast(q_cells), "_cell").dropDuplicates(
+        [query_id_col, id_col]
+    )
+    scored = cohort.withColumn(
+        "score", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
