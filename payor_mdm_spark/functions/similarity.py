@@ -99,9 +99,17 @@ def jaro(a: str, b: str) -> float:
 
 def jaro_winkler(a: str | None, b: str | None) -> float | None:
     """Winkler prefix boost applied only when jaro > 0.7 (jellyfish
-    semantics; verified against DuckDB's jaro_winkler_similarity)."""
+    semantics; verified against DuckDB's jaro_winkler_similarity).
+
+    Dispatches to the self-compiled C kernel for ASCII inputs (bit-identical
+    by construction and by property test); pure Python otherwise."""
     if a is None or b is None:
         return None
+    from payor_mdm_spark.functions.native_kernels import native_jaro_winkler
+
+    n = native_jaro_winkler(a, b)
+    if n is not None:
+        return n
     j = jaro(a, b)
     if j > 0.7:
         prefix = 0
@@ -152,6 +160,11 @@ def _trigram_profile(s: str) -> tuple[Counter, float]:
 
 
 def trigram_cosine(a: str, b: str) -> float:
+    from payor_mdm_spark.functions.native_kernels import native_trigram_cosine
+
+    n = native_trigram_cosine(a, b)
+    if n is not None:
+        return round(n, 4)
     ga, ma = _trigram_profile(a)
     gb, mb = _trigram_profile(b)
     if len(gb) < len(ga):
