@@ -1004,6 +1004,81 @@ def text_lang_scores(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_word_ngram_jaccard",
+    """
+    with toks as (
+      select doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') as t
+      from documents
+    ), grams as (
+      select doc_id,
+             list_distinct(
+               case when len(t) >= 3
+                 then [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-2+1)]
+                 else [array_to_string(t, ' ')] end
+             ) as g
+      from toks
+    )
+    select a.doc_id as id_a, b.doc_id as id_b,
+      round(cast(len(list_intersect(a.g, b.g)) as double)
+            / len(list_distinct(list_concat(a.g, b.g))), 4) as jaccard
+    from grams a join grams b on b.doc_id = a.doc_id + 125
+    """,
+)
+def dedup_word_ngram_jaccard(spark, sf_dir):
+    """Word 3-gram Jaccard verification kernel (operators/dedup.py
+    ngram_jaccard_pairs) against a deterministic pairing."""
+    from payor_mdm_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    cands = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 125).alias("id_b")).join(
+        d.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
+    )
+    out = ngram_jaccard_pairs(d, cands.select("id_a", "id_b"), n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "text_quality_score",
+    r"""
+    with f as (
+      select doc_id,
+        cast(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) as double) as n_tok,
+        cast(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) as double)
+          / greatest(length(text), 1) as punct_ratio,
+        cast(len(list_filter(string_split(lower(text), ' '),
+             x -> x in ('the','and','of','to','is','in','that','with'))) as double)
+          / greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1) as stop_ratio,
+        cast(length(replace(text, ' ', '')) as double)
+          / greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1) as mwl
+      from documents
+      where length(text) > 0
+    )
+    select doc_id,
+      round(
+        (least(n_tok / 20.0, 1.0) * least(2000.0 / greatest(n_tok, 1.0), 1.0)) * 0.3
+        + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+        + least(stop_ratio * 5.0, 1.0) * 0.3
+        + (case when mwl >= 2.5 and mwl <= 10.0 then 1.0 else 0.3 end) * 0.2,
+      4) as quality_score
+    from f
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Doc quality heuristic (operators/text_analysis.quality_score_col),
+    oracle-checked component by component.
+
+    NOTE the oracle computes mean word length as chars-without-spaces /
+    tokens; the Spark side must use the same formula (sum of token lengths
+    == chars minus single separators only when text is single-spaced, which
+    generated documents are)."""
+    from payor_mdm_spark.operators.text_analysis import quality_score_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select("doc_id", quality_score_col(F.col("text")).alias("quality_score"))
+
+
 @query("text_fingerprint")  # xxhash64 fingerprint — rows-only
 def text_fingerprint(spark, sf_dir):
     from payor_mdm_spark.operators.text_analysis import analyze_documents
