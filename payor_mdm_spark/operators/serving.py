@@ -1,0 +1,83 @@
+"""Serving-layer rollups: the reference review UI's read queries.
+
+Mirrors the raw SQL each page issues (app/src/pages/Dashboard.tsx:39-46,
+DataQuality.tsx:31-47, MatchReview.tsx:42, GoldenRecords.tsx:48-71) as
+DataFrame programs over the engine's tables. On a deployment these are the
+queries a steward UI or BI layer runs against the golden/candidate Iceberg
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COMPLETENESS_FIELDS_UI = ("name_raw", "exact_key_1", "npi", "addr_line_1", "phone")
+
+
+def dashboard_counts(tables: dict[str, DataFrame]) -> dict[str, int]:
+    """Headline tiles (Dashboard.tsx:39-43): golden count, staged count,
+    review queue depth, hierarchy edges."""
+    return {
+        "golden_entities": tables["golden"].count(),
+        "staged_records": tables["staged"].count(),
+        "review_queue": tables["match_candidates"]
+        .filter(F.col("auto_decision") == "review")
+        .count(),
+        "hierarchy_edges": tables["hierarchy"].count(),
+    }
+
+
+def score_histogram(candidates: DataFrame, buckets: int = 10) -> DataFrame:
+    """WIDTH_BUCKET(score, 0, 1, 10) histogram (Dashboard.tsx:44)."""
+    return (
+        candidates.groupBy(
+            F.width_bucket(F.col("overall_score"), F.lit(0.0), F.lit(1.0), F.lit(buckets)).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def records_by_source(staged: DataFrame) -> DataFrame:
+    """Per-feed record counts (Dashboard.tsx:45)."""
+    return staged.groupBy("source_system").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def completeness_by_source(staged: DataFrame) -> DataFrame:
+    """Per-source field-completeness percentages (DataQuality.tsx:31-41)."""
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for c in COMPLETENESS_FIELDS_UI:
+        aggs.append(
+            (
+                F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)) * 100.0
+                / F.count(F.lit(1))
+            ).alias(f"{c}_pct")
+        )
+    return staged.groupBy("source_system").agg(*aggs)
+
+
+def cross_source_match_rates(candidates: DataFrame) -> DataFrame:
+    """Pairs + match counts per (source_a, source_b) (DataQuality.tsx:42-47);
+    source systems recovered from the '{source}:{id}' identity scheme."""
+    src_a = F.split(F.col("source_record_id_a"), ":")[0]
+    src_b = F.split(F.col("source_record_id_b"), ":")[0]
+    return (
+        candidates.groupBy(src_a.alias("source_a"), src_b.alias("source_b"))
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum(F.when(F.col("final_decision") == "match", 1).otherwise(0)).alias("matches"),
+        )
+    )
+
+
+def review_queue(candidates: DataFrame, limit: int = 50) -> DataFrame:
+    """The steward queue (MatchReview.tsx:42): undecided review pairs,
+    highest score first (deterministic tiebreak)."""
+    return (
+        candidates.filter(
+            (F.col("auto_decision") == "review") & F.col("steward_decision").isNull()
+        )
+        .orderBy(F.col("overall_score").desc(), F.col("candidate_id"))
+        .limit(limit)
+    )

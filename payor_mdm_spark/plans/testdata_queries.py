@@ -1089,6 +1089,29 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+@query(
+    "serving_completeness_by_source",
+    """
+    select source,
+      count(*) as total,
+      sum(case when lang = 'en' then 1 else 0 end) * 100.0 / count(*) as en_pct,
+      sum(case when n_chars > 200 then 1 else 0 end) * 100.0 / count(*) as long_pct
+    from documents
+    group by source
+    """,
+)
+def serving_completeness_by_source(spark, sf_dir):
+    """Per-source percentage rollup (the DataQuality.tsx:31-41 shape:
+    exact-integer sums * 100.0 / count -> bit-identical doubles)."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = F.count(F.lit(1))
+    return d.groupBy("source").agg(
+        cnt.alias("total"),
+        (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) * 100.0 / cnt).alias("en_pct"),
+        (F.sum(F.when(F.col("n_chars") > 200, 1).otherwise(0)) * 100.0 / cnt).alias("long_pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Headline relational rollups (bench anchors)
 # ---------------------------------------------------------------------------

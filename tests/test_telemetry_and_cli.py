@@ -69,3 +69,36 @@ def test_package_zip(tmp_path):
     names = zipfile.ZipFile(path).namelist()
     assert "payor_mdm_spark/__init__.py" in names
     assert any(n.startswith("payor_mdm_spark/operators/") for n in names)
+
+
+class TestServing:
+    def test_dashboard_counts_and_histogram(self, pipeline_run):
+        from payor_mdm_spark.operators.serving import (
+            dashboard_counts, records_by_source, score_histogram,
+        )
+
+        t = pipeline_run["res"].tables
+        counts = dashboard_counts(t)
+        assert counts["golden_entities"] > 0
+        assert counts["staged_records"] == t["staged"].count()
+        hist = score_histogram(t["match_candidates"]).collect()
+        assert sum(r.cnt for r in hist) == t["match_candidates"].count()
+        srcs = {r.source_system for r in records_by_source(t["staged"]).collect()}
+        assert srcs == {"crm", "claims", "credentialing", "cms_reference"}
+
+    def test_completeness_and_match_rates(self, pipeline_run):
+        from payor_mdm_spark.operators.serving import (
+            completeness_by_source, cross_source_match_rates, review_queue,
+        )
+
+        t = pipeline_run["res"].tables
+        comp = {r.source_system: r for r in
+                completeness_by_source(t["staged"]).collect()}
+        assert comp["crm"].name_raw_pct == 100.0
+        assert 0.0 <= comp["claims"].exact_key_1_pct <= 100.0
+        rates = cross_source_match_rates(t["match_candidates"]).collect()
+        assert sum(r.pairs for r in rates) == t["match_candidates"].count()
+        assert all(r.matches <= r.pairs for r in rates)
+        q = review_queue(t["match_candidates"], limit=10).collect()
+        scores = [r.overall_score for r in q]
+        assert scores == sorted(scores, reverse=True)
