@@ -46,6 +46,7 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
     total = time.time() - t0
     stage_s = {m["stage"]: m["seconds"] for m in res.metrics}
     rows = {m["stage"]: m["rows"] for m in res.metrics}
+    rows.setdefault("scored_pairs", 0)
     pairs = rows.get("scored_pairs", 0)
     scoring_s = stage_s.get("scored_pairs", 1e-9)
     return {

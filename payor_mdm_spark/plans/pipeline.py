@@ -53,6 +53,7 @@ def run_pipeline(
     max_block_size: int | None = None,
     shuffle_partitions: int | None = None,
     collect_metrics: bool = True,
+    materialize_staging: bool = True,
 ) -> RunResult:
     """Run (or resume) the full DAG; every stage is checkpointed via
     ``store`` and downstream stages read the committed checkpoint, so a
@@ -98,11 +99,27 @@ def run_pipeline(
             )
         return df
 
-    staged = stage(
-        "staged", lambda: stage_records(spark, rollup_conversations(turns))
-    )
+    if materialize_staging:
+        staged = stage(
+            "staged", lambda: stage_records(spark, rollup_conversations(turns))
+        )
+    else:
+        # reference parity: dbt materializes the staging layer as VIEWS
+        # (dbt_project.yml:18-20) — only match/master become tables. The
+        # cache must be EAGER: the blocking stage's single write job
+        # branches over staged 6+ ways, and an unmaterialized cache would
+        # re-execute the rollup lineage per branch.
+        t0 = time.time()
+        staged = stage_records(spark, rollup_conversations(turns)).cache()
+        staged.count()
+        if collect_metrics:
+            result.metrics.append(
+                {"stage": "staged(view)", "rows": staged.count(),
+                 "seconds": round(time.time() - t0, 3), "skipped": False,
+                 "run_ts": run_ts}
+            )
     # staged is scanned by every blocking pass and both sides of the scoring
-    # rehydration join — cache the committed snapshot
+    # rehydration join — cache it (committed snapshot or view)
     staged = staged.cache()
     result.tables["staged"] = staged
     pairs = stage(
