@@ -6,9 +6,14 @@ int_hierarchy_inferred.sql + payor_hierarchy.sql. Two signals:
   1. name_ref_match — a source record's parent_ref equals another golden
      record's name (equi join on normalized expressions, J6, :30-43);
   2. name_substring — one golden name contains another (child longer,
-     parent >= 6 chars, J7, :47-62). The golden side is broadcast — golden
-     is orders of magnitude smaller than staged; at extreme scale a
-     token-prefix pre-join bounds the candidate space (SURVEY §2.3 J7).
+     parent >= 6 chars, J7, :47-62). Bounded candidate generation (SURVEY
+     §2.3 J7): a containment hit implies the parent's 6-char PREFIX occurs
+     as a 6-gram of the child, so parents equi-join their prefix gram
+     against the child's exploded (distinct) 6-grams and the exact
+     `contains` check runs only on those candidates. Exact (zero recall
+     loss vs the reference's nested-loop contains join) and O(sum over
+     gram of n_parent(g) * n_child(g)) instead of O(|golden|^2); residual
+     hot-gram skew is left to AQE skew-join.
 
 Hierarchy ids are deterministic (md5 of parent|child|method) instead of
 uuid_string() (payor_hierarchy.sql:11; SURVEY §2.7 determinism rule).
@@ -20,6 +25,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from payor_mdm_spark.functions.textnorm import deterministic_id
+
+_GRAM_K = 6  # == the reference's minimum parent-name length (J7 predicate)
+
+
+def _grams(col, k: int):
+    """All distinct k-grams of ``col`` (assumes length(col) >= k)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (k - 1)),
+            lambda i: col.substr(i, F.lit(k)),
+        )
+    )
+
+
+def substring_candidates(
+    parents: DataFrame, children: DataFrame, k: int = _GRAM_K
+) -> DataFrame:
+    """Bounded candidates for the containment join via rarest-gram signing.
+
+    If a child contains a parent name, the child's k-grams include EVERY
+    k-gram of the parent — so it suffices to join on any one of them, and
+    the cheapest is the parent gram with the lowest child-side document
+    frequency (the rarest-signature trick from set-similarity joins, e.g.
+    PPJoin's prefix filtering). Exact (zero recall loss): candidate count
+    is sum over parents of df(rarest gram), which stays near-linear even
+    on low-entropy name vocabularies where a fixed prefix gram would be
+    hot. Parents whose rarest gram appears in no child are dropped
+    outright — they cannot match. Schemas: parents[parent_master_id,
+    _pname], children[child_master_id, _cname]."""
+    c = children.filter(F.length("_cname") > k).select(
+        "child_master_id", "_cname",
+        F.explode(_grams(F.col("_cname"), k)).alias("_gram"),
+    )
+    # document frequency of each gram on the child side (distinct per child)
+    freq = c.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
+    # per parent: the gram with minimum (df, gram) — deterministic tiebreak
+    p_grams = parents.filter(F.length("_pname") >= k).select(
+        "parent_master_id", "_pname",
+        F.explode(_grams(F.col("_pname"), k)).alias("_gram"),
+    )
+    p_key = (
+        p_grams.join(freq, "_gram")  # inner: gram absent from children -> no match possible
+        .groupBy("parent_master_id")
+        .agg(
+            F.min(F.struct(F.col("_df"), F.col("_gram"))).alias("_best"),
+            F.first("_pname").alias("_pname"),
+        )
+        .select("parent_master_id", "_pname", F.col("_best._gram").alias("_gram"))
+    )
+    return c.join(p_key, "_gram").drop("_gram")
 
 
 def infer_hierarchy(
@@ -56,10 +111,10 @@ def infer_hierarchy(
         F.col("_name_u").alias("_cname"),
     )
     sig2 = (
-        gc.join(F.broadcast(gp), F.col("parent_master_id") != F.col("child_master_id"))
+        substring_candidates(gp, gc)
         .filter(
-            F.contains(F.col("_cname"), F.col("_pname"))
-            & (F.length("_pname") >= 6)
+            (F.col("parent_master_id") != F.col("child_master_id"))
+            & F.contains(F.col("_cname"), F.col("_pname"))
             & (F.length("_cname") > F.length("_pname"))
         )
         .select("parent_master_id", "child_master_id")

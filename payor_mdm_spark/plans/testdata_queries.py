@@ -759,20 +759,32 @@ def anti_join_orphans(spark, sf_dir):
     """,
 )
 def hierarchy_substring_join(spark, sf_dir):
+    """Containment join via the bounded gram pre-join (operators/hierarchy
+    substring_candidates shape, k=4): candidates = children whose 4-grams
+    include the parent token's 4-char prefix, exact `contains` only on
+    those — never a nested-loop over the cross product."""
+    from payor_mdm_spark.operators.hierarchy import substring_candidates
+
     p = _t(spark, sf_dir, "part")
     parents = (
-        p.select(F.split(F.col("p_name"), " ")[1].alias("parent_token"))
-        .filter(F.length("parent_token") >= 4)
+        p.select(F.split(F.col("p_name"), " ")[1].alias("_pname"))
+        .filter(F.length("_pname") >= 4)
         .distinct()
+        .withColumn("parent_master_id", F.col("_pname"))
+    )
+    children = p.select(
+        F.col("p_partkey").alias("child_master_id"), F.col("p_name").alias("_cname")
     )
     return (
-        p.alias("c")
-        .join(
-            F.broadcast(parents),
-            F.contains(F.col("c.p_name"), F.col("parent_token"))
-            & (F.length("c.p_name") > F.length("parent_token")),
+        substring_candidates(parents, children, k=4)
+        .filter(
+            F.contains(F.col("_cname"), F.col("_pname"))
+            & (F.length("_cname") > F.length("_pname"))
         )
-        .select("parent_token", F.col("c.p_partkey").alias("child_key"))
+        .select(
+            F.col("_pname").alias("parent_token"),
+            F.col("child_master_id").alias("child_key"),
+        )
     )
 
 

@@ -1,0 +1,104 @@
+"""The substring-containment join must be bounded, not O(n^2).
+
+VERDICT r01 item 1: replace the broadcast nested-loop golden x golden with
+a gram pre-join. These tests pin (a) exactness — the bounded plan finds
+exactly the pairs the brute-force contains join finds — and (b) scale —
+on a 50k-golden synthetic world the candidate count is orders of magnitude
+below n^2.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.operators.hierarchy import substring_candidates
+
+_WORDS = [
+    "ACME", "GLOBAL", "HEALTH", "UNITED", "PACIFIC", "SUMMIT", "CASCADE",
+    "PIONEER", "LIBERTY", "HORIZON", "ATLAS", "MERIDIAN", "VANGUARD",
+    "KEYSTONE", "BEACON", "NORTHSTAR", "EVERGREEN", "GRANITE", "HARBOR",
+    "REDWOOD", "SIERRA", "PRAIRIE", "CANYON", "LAUREL", "STERLING",
+]
+_SUFFIX = ["GROUP", "PARTNERS", "PLAN", "NETWORK", "ALLIANCE", "SYSTEMS", ""]
+
+
+def _names(n: int, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        base = f"{rng.choice(_WORDS)} {rng.choice(_WORDS)}"
+        if rng.random() < 0.3:
+            base = f"{base} {rng.choice(_SUFFIX)}".strip()
+        if rng.random() < 0.2:
+            base = f"{base} OF REGION {i % 97}"
+        out.append(f"{base} {i}")  # unique tail keeps names distinct
+    return out
+
+
+def _frames(spark, names: list[str]):
+    df = spark.createDataFrame(
+        [(f"g{i}", nm) for i, nm in enumerate(names)], "gid string, name string"
+    )
+    parents = df.select(
+        F.col("gid").alias("parent_master_id"), F.col("name").alias("_pname")
+    )
+    children = df.select(
+        F.col("gid").alias("child_master_id"), F.col("name").alias("_cname")
+    )
+    return parents, children
+
+
+def _containment_filter(df):
+    return df.filter(
+        (F.col("parent_master_id") != F.col("child_master_id"))
+        & F.contains(F.col("_cname"), F.col("_pname"))
+        & (F.length("_cname") > F.length("_pname"))
+    ).select("parent_master_id", "child_master_id")
+
+
+def test_gram_prejoin_is_exact(spark):
+    """Bounded plan == brute-force nested-loop contains join (3k names)."""
+    names = _names(3000)
+    parents, children = _frames(spark, names)
+
+    bounded = set(
+        (r.parent_master_id, r.child_master_id)
+        for r in _containment_filter(substring_candidates(parents, children)).collect()
+    )
+    brute = set(
+        (r.parent_master_id, r.child_master_id)
+        for r in _containment_filter(
+            children.join(
+                F.broadcast(parents.filter(F.length("_pname") >= 6)), how="cross"
+            )
+        ).collect()
+    )
+    assert bounded == brute
+    assert len(brute) > 0  # the world actually contains nested names
+
+
+def test_candidate_count_far_below_n_squared(spark):
+    """50k golden world: gram candidates must be « n^2 = 2.5e9."""
+    n = 50_000
+    parents, children = _frames(spark, _names(n))
+    candidates = substring_candidates(parents, children).count()
+    # the old nested-loop plan compares n^2 pairs; the bounded plan must be
+    # at least 3 orders of magnitude smaller
+    assert candidates < (n * n) / 1000
+    assert candidates > 0
+
+
+def test_no_nested_loop_in_plan(spark):
+    """The physical plan must not contain a nested-loop / cartesian join."""
+    parents, children = _frames(spark, _names(100))
+    plan = (
+        _containment_filter(substring_candidates(parents, children))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
