@@ -77,21 +77,18 @@ def run_pipeline(
             skipped = False
         result.tables[name] = df
         if collect_metrics:
-            # per-partition lineage (north_rule): file-level row counts of
-            # the committed snapshot — a map-side count, no extra shuffle
-            parts = (
-                df.groupBy(F.spark_partition_id().alias("partition_id"))
-                .count()
-                .collect()
-            )
-            for prow in parts:
-                partition_rows.append(
-                    (name, int(prow["partition_id"]), int(prow["count"]), run_ts)
-                )
+            # per-partition lineage (north_rule): row counts from the COMMIT
+            # itself — parquet footers / Iceberg manifest stats — never a
+            # second scan of the stage output (VERDICT r01 item 3: the old
+            # groupBy(spark_partition_id()).count() doubled read I/O at the
+            # 100 TB design point)
+            parts = store.commit_stats(name)
+            for pid, nrows in parts:
+                partition_rows.append((name, pid, nrows, run_ts))
             result.metrics.append(
                 {
                     "stage": name,
-                    "rows": sum(p["count"] for p in parts),
+                    "rows": sum(nrows for _, nrows in parts),
                     "seconds": round(time.time() - t0, 3),
                     "skipped": skipped,
                     "run_ts": run_ts,

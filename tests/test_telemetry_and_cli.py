@@ -102,3 +102,44 @@ class TestServing:
         q = review_queue(t["match_candidates"], limit=10).collect()
         scores = [r.overall_score for r in q]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_metrics_from_commit_stats_no_rescan(spark, world, tmp_path):
+    """VERDICT r01 item 3: per-stage lineage must come from the write itself
+    (parquet footers / manifest stats), not a second scan. Pinned two ways:
+    (a) metrics row counts equal the tables' true counts; (b) the job count
+    with metrics on exceeds metrics-off only by the two metrics-table
+    writes — NOT by one extra count-job per stage."""
+    from payor_mdm_spark.plans.pipeline import STAGES, run_pipeline
+    from payor_mdm_spark.sources.catalog import CheckpointStore
+
+    sc = spark.sparkContext
+    turns = spark.read.parquet(world["turns_path"])
+
+    sc.setJobGroup("metrics_off", "baseline")
+    off = run_pipeline(
+        spark, turns, CheckpointStore(spark, str(tmp_path / "off")),
+        collect_metrics=False,
+    )
+    n_off = len(sc.statusTracker().getJobIdsForGroup("metrics_off"))
+
+    sc.setJobGroup("metrics_on", "with lineage")
+    store = CheckpointStore(spark, str(tmp_path / "on"))
+    on = run_pipeline(spark, turns, store, collect_metrics=True)
+    n_on = len(sc.statusTracker().getJobIdsForGroup("metrics_on"))
+    sc.setJobGroup("", "")
+
+    # (a) lineage numbers are the truth
+    by_stage = {m["stage"]: m for m in on.metrics}
+    for stg in STAGES:
+        assert by_stage[stg]["rows"] == on.tables[stg].count()
+    parts = {
+        r.stage: r for r in store.read("partition_metrics")
+        .groupBy("stage").agg(F.sum("rows").alias("rows")).collect()
+    }
+    for stg in STAGES:
+        assert parts[stg].rows == by_stage[stg]["rows"]
+
+    # (b) only the 2 metrics-table writes may add jobs (allow +3 headroom);
+    # the old re-scan added >= 1 job per stage (9+)
+    assert n_on - n_off <= 3, f"metrics collection added {n_on - n_off} jobs"
