@@ -132,17 +132,28 @@ def _shingles(col: Column, k: int) -> Column:
 
 def signature_from_shingles(sh: Column, num_hashes: int) -> Column:
     """MinHash signature from an ALREADY MATERIALIZED shingle array column:
-    h_j(doc) = min over shingles of xxhash64(shingle, j). Pass a real column
-    reference, not the shingle expression — otherwise Catalyst inlines the
-    shingling num_hashes times."""
+    h_j(doc) = min over shingles of xxhash64(shingle, j), all num_hashes
+    mins computed in ONE traversal (VERDICT r01 item 4 — the round-1 form
+    ran num_hashes separate transform+array_min passes over the array).
 
-    def hasher(seed: int):
-        # closure factory keeps the lambda UNARY — a second parameter
-        # (even a defaulted one) makes F.transform pass the element index
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, hasher(j))) for j in range(num_hashes)]
+    Single F.aggregate: the accumulator is the length-num_hashes running-min
+    array; each shingle contributes transform(sequence(0, n-1), j ->
+    xxhash64(s, j)) zipped in with least(). Hash values are bit-identical
+    to the unrolled form (same (shingle, int-seed) xxhash64 inputs), so
+    LSH buckets, golden fixtures and recorded pair sets are unchanged.
+    Pass a real column reference, not the shingle expression — otherwise
+    Catalyst inlines the shingling into the aggregate."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    max_long = F.lit(2**63 - 1).cast("long")
+    init = F.array_repeat(max_long, num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda j: F.xxhash64(s, j.cast("int"))),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 
@@ -156,21 +167,40 @@ def minhash_signature(col: Column, num_hashes: int = MINHASH_NUM_HASHES,
     return signature_from_shingles(_shingles(col, k), num_hashes)
 
 
-def _with_signature(df: DataFrame, text_col: str, num_hashes: int, k: int) -> DataFrame:
-    """[..., text_col] -> [..., _sig], shingles materialized once and the
-    input repartitioned so the (CPU-heavy) signature projection parallelizes
-    even when the source scan has few input splits."""
+def _with_signature(
+    df: DataFrame, text_col: str, num_hashes: int, k: int,
+    id_col: str = _ID,
+) -> DataFrame:
+    """[id_col, text_col] -> [id_col, _sig] via explode + hash-aggregate.
+
+    Spark's higher-order functions (aggregate/transform lambdas) are
+    INTERPRETED, not codegen'd — the round-1 array formulation spent most
+    of its time in per-element object allocation. This shape keeps every
+    hot expression inside WholeStageCodegen: explode the shingles, compute
+    the num_hashes xxhash64 columns natively, groupBy(id) with num_hashes
+    min() aggregates (map-side partial combine -> the shuffle carries one
+    ~num_hashes*8-byte row per document). Hash values are bit-identical to
+    signature_from_shingles (same (shingle, int-seed) xxhash64 inputs).
+
+    At scale: shuffle volume is O(#docs * num_hashes * 8B) regardless of
+    document size — the explode never leaves the map side.
+    """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.withColumn("_sh", _shingles(F.col(text_col), k))
-        # the exchange between shingling and hashing is deliberate: it is a
-        # CollapseProject barrier (otherwise Catalyst inlines the shingle
-        # expression into all num_hashes array_min calls) AND it spreads the
-        # CPU-heavy hashing across all cores even when the source scan has
-        # one input split
+    exploded = (
+        df.select(id_col, F.col(text_col).alias("_t"))
+        # spread the CPU-heavy hashing across all cores even when the
+        # source scan has one input split
         .repartition(parallelism)
-        .withColumn("_sig", signature_from_shingles(F.col("_sh"), num_hashes))
-        .drop("_sh")
+        .select(id_col, F.explode(_shingles(F.col("_t"), k)).alias("_s"))
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("_sig"))
     )
 
 
