@@ -199,6 +199,110 @@ def _digits(col: Column) -> Column:
     return F.regexp_replace(F.coalesce(col, F.lit("")), "[^0-9]", "")
 
 
+# ---------------------------------------------------------------------------
+# Native fast paths (VERDICT r01 item 5 — the DET/FUZZY DataFrame split).
+# Rows whose string fields are decidable without the Python router (either
+# side null/empty, or identical values whose winning strategy provably
+# scores 1.0) are scored with the column expressions below and never enter
+# the Arrow UDF; only rows that genuinely need route_name/route_addr pay
+# the Python cost. Each expression is a bit-exact clone of the
+# corresponding branch in string_scores_udf / score_tax — equivalence is
+# pinned by tests/test_ensemble_spark.py.
+# ---------------------------------------------------------------------------
+
+def _upper_trim(col: Column) -> Column:
+    return F.upper(F.trim(col))
+
+
+def _present(col: Column) -> Column:
+    """Python truthiness of the raw value: non-null AND != ''."""
+    return col.isNotNull() & (col != "")
+
+
+def _has_abbrev_token(u: Column) -> Column:
+    """any(t in ABBREVS for t in u.split()) — whitespace split, empties
+    dropped (harmless here: '' is never an ABBREVS key)."""
+    return F.arrays_overlap(
+        F.split(u, r"\s+"), F.array(*[F.lit(t) for t in sorted(ABBREVS)])
+    )
+
+
+def _nonstop_addr_tokens(u: Column) -> Column:
+    """bool({t.rstrip('.,') for t in u.split()} - ADDR_STOPS) as a column."""
+    from payor_mdm_spark.config import ADDR_STOPS
+
+    toks = F.filter(F.split(u, r"\s+"), lambda t: t != "")
+    return F.exists(
+        toks,
+        lambda t: ~F.regexp_replace(t, r"[.,]+$", "").isin(*sorted(ADDR_STOPS)),
+    )
+
+
+def name_fast_path(a: Column, b: Column) -> tuple[Column, Column, Column]:
+    """(decidable, score, strategy) for the name field without the router."""
+    ua, ub = _upper_trim(a), _upper_trim(b)
+    both = _present(a) & _present(b)
+    identical = (ua == ub) & (ua != "")
+    decidable = ~both | identical
+    score = F.when(both & identical, F.lit(1.0))
+    strategy = F.when(
+        both & identical,
+        F.when(_has_abbrev_token(ua), "NAME_ABR").otherwise("NAME_JW"),
+    )
+    return decidable, score, strategy
+
+
+def addr_fast_path(a: Column, b: Column) -> tuple[Column, Column, Column]:
+    """(decidable, score, strategy) for the address field. Identical
+    addresses are decidable only when the router's winner provably scores
+    1.0: CMP with a parsed leading street number, or JAC (no digit in the
+    first 10 chars) where JAC is 1.0 iff the stopword-stripped token set
+    is non-empty (11_ensemble_udfs.sql:503)."""
+    ua, ub = _upper_trim(a), _upper_trim(b)
+    both = _present(a) & _present(b)
+    has_num = F.substring(ua, 1, 10).rlike("[0-9]")
+    tok0 = F.element_at(F.filter(F.split(ua, r"\s+"), lambda t: t != ""), 1)
+    tok0_digit = F.coalesce(
+        F.regexp_replace(tok0, "-", "").rlike("^[0-9]+$"), F.lit(False)
+    )
+    identical = (ua == ub) & (ua != "")
+    decidable = ~both | (identical & (~has_num | tok0_digit))
+    jac = F.when(_nonstop_addr_tokens(ua), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.when(
+        both & identical, F.when(has_num, F.lit(1.0)).otherwise(jac)
+    )
+    strategy = F.when(
+        both & identical, F.when(has_num, "ADDR_CMP").otherwise("ADDR_JAC")
+    )
+    return decidable, score, strategy
+
+
+def tax_score_cols(a: Column, b: Column) -> tuple[Column, Column]:
+    """Native clone of score_tax (exact / 1-2-digit transpose) — tax needs
+    no string router, so EVERY pair scores it JVM-side."""
+    present = _present(a) & _present(b)
+    da, db = _digits(a), _digits(b)
+    have_digits = present & (F.length(da) > 0) & (F.length(db) > 0)
+    diffs = F.size(
+        F.filter(
+            F.zip_with(F.split(da, ""), F.split(db, ""), lambda x, y: x != y),
+            lambda v: v,
+        )
+    )
+    trans = F.when(
+        F.length(da) == F.length(db),
+        F.when(diffs <= 1, 0.9).when(diffs == 2, 0.7).otherwise(0.0),
+    ).otherwise(F.lit(0.0))
+    score = F.when(have_digits, F.when(da == db, 1.0).otherwise(trans))
+    strategy = F.when(
+        have_digits,
+        F.when(da == db, "TIN_EXACT")
+        .when(trans > 0.0, "TIN_TRANS")
+        .otherwise("TIN_EXACT"),
+    )
+    return score, strategy
+
+
 def phone_score_cols(a: Column, b: Column) -> tuple[Column, Column]:
     """Native-column PHONE_E164 / PHONE_L7 (11_ensemble_udfs.sql:619-626)."""
     da, db = _digits(a), _digits(b)
@@ -252,36 +356,85 @@ def composite_col(
     return F.when(den > 0, F.round(num / den, 4))
 
 
-def apply_ensemble(pairs: DataFrame) -> DataFrame:
+def apply_ensemble(pairs: DataFrame, split_fast_path: bool = True) -> DataFrame:
     """Add ensemble score columns to a rehydrated pair DataFrame.
 
     Expects columns: name_a/name_b, addr_a/addr_b, exact_key_1_a/_b (tax
     analog), phone_a/phone_b, exact_key_2_a/_b (cms analog). Produces:
     score_name, score_exact_key_1, score_address, score_phone,
     score_exact_key_2 + winning strategies + strategies_used + composite.
+
+    DET/FUZZY DataFrame split (SURVEY §4, VERDICT r01 item 5): tax is
+    scored natively for every row; rows whose name AND address are
+    fast-path decidable (null/empty or provably-1.0 identical) take a pure
+    column-expression branch, and ONLY the remainder flows through the
+    Arrow string router UDF. The two branches union back; results are
+    bit-identical to routing every row through the UDF
+    (split_fast_path=False keeps the old single-branch plan for A/B
+    testing).
     """
-    df = pairs.withColumn(
-        "_str",
-        string_scores_udf(
-            F.col("name_a"), F.col("name_b"),
-            F.col("addr_a"), F.col("addr_b"),
-            F.col("exact_key_1_a"), F.col("exact_key_1_b"),
-        ),
+    tax_s, tax_strat = tax_score_cols(
+        F.col("exact_key_1_a"), F.col("exact_key_1_b")
     )
+    name_dec, name_s_fast, name_strat_fast = name_fast_path(
+        F.col("name_a"), F.col("name_b")
+    )
+    addr_dec, addr_s_fast, addr_strat_fast = addr_fast_path(
+        F.col("addr_a"), F.col("addr_b")
+    )
+
+    if split_fast_path:
+        fast_cond = name_dec & addr_dec
+        fast = (
+            pairs.filter(fast_cond)
+            .withColumn("score_name", name_s_fast)
+            .withColumn("winning_name_strategy", name_strat_fast)
+            .withColumn("score_address", addr_s_fast)
+            .withColumn("winning_addr_strategy", addr_strat_fast)
+        )
+        slow = (
+            pairs.filter(~fast_cond)
+            .withColumn(
+                "_str",
+                string_scores_udf(
+                    F.col("name_a"), F.col("name_b"),
+                    F.col("addr_a"), F.col("addr_b"),
+                    F.col("exact_key_1_a"), F.col("exact_key_1_b"),
+                ),
+            )
+            .withColumn("score_name", F.col("_str.name_score"))
+            .withColumn("winning_name_strategy", F.col("_str.name_strategy"))
+            .withColumn("score_address", F.col("_str.addr_score"))
+            .withColumn("winning_addr_strategy", F.col("_str.addr_strategy"))
+            .drop("_str")
+        )
+        df = fast.unionByName(slow)
+    else:
+        df = (
+            pairs.withColumn(
+                "_str",
+                string_scores_udf(
+                    F.col("name_a"), F.col("name_b"),
+                    F.col("addr_a"), F.col("addr_b"),
+                    F.col("exact_key_1_a"), F.col("exact_key_1_b"),
+                ),
+            )
+            .withColumn("score_name", F.col("_str.name_score"))
+            .withColumn("winning_name_strategy", F.col("_str.name_strategy"))
+            .withColumn("score_address", F.col("_str.addr_score"))
+            .withColumn("winning_addr_strategy", F.col("_str.addr_strategy"))
+            .drop("_str")
+        )
+
     phone_s, phone_strat = phone_score_cols(F.col("phone_a"), F.col("phone_b"))
     cms_s, cms_strat = cms_score_cols(F.col("exact_key_2_a"), F.col("exact_key_2_b"))
     df = (
-        df.withColumn("score_name", F.col("_str.name_score"))
-        .withColumn("winning_name_strategy", F.col("_str.name_strategy"))
-        .withColumn("score_address", F.col("_str.addr_score"))
-        .withColumn("winning_addr_strategy", F.col("_str.addr_strategy"))
-        .withColumn("score_exact_key_1", F.col("_str.tax_score"))
-        .withColumn("winning_tax_strategy", F.col("_str.tax_strategy"))
+        df.withColumn("score_exact_key_1", tax_s)
+        .withColumn("winning_tax_strategy", tax_strat)
         .withColumn("score_phone", phone_s)
         .withColumn("winning_phone_strategy", phone_strat)
         .withColumn("score_exact_key_2", cms_s)
         .withColumn("winning_cms_strategy", cms_strat)
-        .drop("_str")
     )
     # strategies_used in the reference's append order: name, tax, addr,
     # phone, cms (11_ensemble_udfs.sql:589-635).

@@ -30,8 +30,11 @@ _SCHEMA = (
 
 @pytest.fixture(scope="module")
 def scored(spark):
-    df = spark.createDataFrame(PAIRS, _SCHEMA)
-    return apply_ensemble(df).collect()
+    # the DET/FUZZY split unions two branches, so output order is not input
+    # order — carry an index and sort the collect back to PAIRS order
+    rows = [(i, *p) for i, p in enumerate(PAIRS)]
+    df = spark.createDataFrame(rows, "_i int, " + _SCHEMA)
+    return sorted(apply_ensemble(df).collect(), key=lambda r: r._i)
 
 
 def test_name_scores_match_python_router(scored):
@@ -139,3 +142,67 @@ def test_strategies_used_order(scored):
     row = scored[0]
     assert row.strategies_used[0].startswith("NAME_")
     assert "TIN_EXACT" in row.strategies_used
+
+
+EDGE_PAIRS = [
+    # identical names with/without abbrev tokens; identical addrs with and
+    # without street numbers; whitespace-only; empty; stopword-only addrs;
+    # tax exact / 1-transpose / 2-diff / length-mismatch / non-digit
+    ("BCBS OF OHIO", "BCBS OF OHIO", "12-3456789", "123456789",
+     "100 MAIN ST", "100 MAIN ST", "5551234", "5551234", "H1", "H1"),
+    ("ACME HEALTH", "ACME HEALTH", "123456789", "123456798",
+     "MAIN PLAZA", "MAIN PLAZA", None, None, None, None),
+    ("ACME", "ACME", "123456789", "123456700", "STE", "STE", "1", "1", "", ""),
+    ("A", "A", "12345", "1234", "SUITE ST.", "SUITE ST.", None, None, "H", "H"),
+    (" ", " ", "ABC", "DEF", " ", " ", "x", "y", None, "H2"),
+    ("", "", "", "", "", "", "", "", "", ""),
+    ("ACME HEALTH", "ACME  HEALTH", None, None, "100 MAIN", "100  MAIN",
+     None, None, None, None),  # double space -> NOT identical -> UDF
+    ("UNITED", "UNITEDX", "999", "999", "9-9 OAK", "9-9 OAK", "77", "77", "C", "C"),
+    (None, None, None, None, None, None, None, None, None, None),
+]
+
+
+def test_split_fast_path_equivalence(spark):
+    """The DET/FUZZY split must be bit-identical to routing every row
+    through the UDF (VERDICT r01 item 5)."""
+    df = spark.createDataFrame(PAIRS + EDGE_PAIRS, _SCHEMA)
+    cols = [
+        "score_name", "winning_name_strategy", "score_address",
+        "winning_addr_strategy", "score_exact_key_1", "winning_tax_strategy",
+        "score_phone", "score_exact_key_2", "strategies_used", "composite",
+    ]
+    key = ["name_a", "name_b", "addr_a", "addr_b", "exact_key_1_a",
+           "exact_key_1_b", "phone_a", "exact_key_2_a"]
+    split = {tuple((r[k] or "") for k in key): [r[c] for c in cols]
+             for r in apply_ensemble(df, split_fast_path=True).collect()}
+    mono = {tuple((r[k] or "") for k in key): [r[c] for c in cols]
+            for r in apply_ensemble(df, split_fast_path=False).collect()}
+    assert split == mono
+
+
+def test_split_fast_path_skips_udf_for_det3_shape(spark):
+    """Identical-name identical-numbered-addr pairs (the DET-3 shape) must
+    be fast-path decidable, and the split plan must gate its single Arrow
+    UDF node behind the NOT(fast) filter under a Union."""
+    from payor_mdm_spark.functions.ensemble import addr_fast_path, name_fast_path
+
+    df = spark.createDataFrame(PAIRS + EDGE_PAIRS, _SCHEMA)
+    name_dec, _, _ = name_fast_path(F.col("name_a"), F.col("name_b"))
+    addr_dec, _, _ = addr_fast_path(F.col("addr_a"), F.col("addr_b"))
+    fast = df.filter(name_dec & addr_dec)
+    n_fast = fast.count()
+    assert n_fast >= 6  # identical/null-field rows are decidable natively
+    # the DET-3 canonical shape is decidable
+    det3 = spark.createDataFrame(
+        [("ACME HEALTH PLAN", "ACME HEALTH PLAN", None, None,
+          "12 OAK ST", "12 OAK ST", None, None, None, None)], _SCHEMA
+    )
+    assert det3.filter(name_dec & addr_dec).count() == 1
+
+    plan = (
+        apply_ensemble(df, split_fast_path=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1  # one branch pays Python
+    assert "Union" in plan
