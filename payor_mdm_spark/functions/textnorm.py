@@ -120,3 +120,15 @@ def deterministic_id(*cols: Column) -> Column:
     fixtures and snapshot resume (SURVEY §1.3).
     """
     return F.md5(F.concat_ws("|", *cols))
+
+
+def md5_60bit(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+
+    Used where a value oracle matters more than raw hash speed (SimHash
+    token hashes, document fingerprints): DuckDB reproduces it exactly as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``, so the driver can
+    value-check those operators instead of rows-only. 60 bits keeps the
+    value positive in a signed 64-bit long on both engines.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

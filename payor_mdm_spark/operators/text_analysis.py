@@ -7,9 +7,10 @@ All native column expressions (WholeStageCodegen end-to-end):
   mean-word-length heuristics blended into [0,1].
 * language_id        — stopword-hit heuristic over small per-language
   marker vocabularies (en/es/fr/de + cjk-char ratio for zh).
-* doc_fingerprint    — 64-bit rolling content fingerprint: xxhash64 over
+* doc_fingerprint    — 60-bit content fingerprint: md5_60bit over
   normalized word 4-shingles folded with min() (a 1-hash MinHash — stable
-  under small reorderings of boilerplate, cheap to compare).
+  under small reorderings of boilerplate, cheap to compare, and
+  DuckDB-reproducible for the value oracle).
 
 Each operator is expressible in ANSI SQL too (see __spark_entry__.py
 oracle_sql) so correctness is oracle-checked against DuckDB.
@@ -117,7 +118,12 @@ def language_id_col(text: Column, min_score: float = 0.05) -> Column:
 
 
 def doc_fingerprint_col(text: Column, shingle_words: int = 4) -> Column:
-    """64-bit rolling fingerprint: min over xxhash64 of word shingles."""
+    """60-bit content fingerprint: min over md5_60bit of word shingles
+    (a 1-hash MinHash — stable under small reorderings of boilerplate).
+    md5-derived so DuckDB reproduces it (value oracle, VERDICT r01 item 9).
+    """
+    from payor_mdm_spark.functions.textnorm import md5_60bit
+
     toks = tokens_col(F.regexp_replace(text, r"[^\w\s]", ""))
     shingles = F.when(
         F.size(toks) >= shingle_words,
@@ -126,7 +132,7 @@ def doc_fingerprint_col(text: Column, shingle_words: int = 4) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_words)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+    return F.array_min(F.transform(shingles, lambda s: md5_60bit(s)))
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -865,7 +865,40 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(corpus, jaccard_threshold=0.8)
 
 
-@query("dedup_simhash")  # xxhash64-seeded — no SQL oracle (rows-only)
+# the full 60-bit SimHash construction, written so DuckDB reproduces the
+# Spark operator bit-for-bit: md5_60bit token hashes, per-bit +1/-1 votes,
+# 4 x 15-bit band buckets, distinct canonical pairs.
+_SIMHASH_VOTES = "\n      + ".join(
+    f"(case when list_sum(list_transform(th, h -> case when (h >> {b}) & 1 = 1 "
+    f"then 1 else -1 end)) > 0 then (1::BIGINT << {b}) else 0 end)"
+    for b in range(60)
+)
+
+@query(
+    "dedup_simhash",
+    f"""
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000 as doc_id, text from documents where doc_id % 7 = 0
+    ), th as (
+      select doc_id,
+        list_transform(
+          list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''),
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+        ) as th
+      from corpus
+    ), sh as (
+      select doc_id, {_SIMHASH_VOTES} as sh from th
+    ), buckets as (
+      select doc_id, band, (sh >> (band::INTEGER * 15)) & 32767 as bucket
+      from sh cross join range(0, 4) t(band)
+    )
+    select distinct a.doc_id as id_a, b.doc_id as id_b
+    from buckets a
+    join buckets b on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     from payor_mdm_spark.operators.dedup import simhash_candidate_pairs
 
@@ -875,7 +908,9 @@ def dedup_simhash(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    return simhash_candidate_pairs(corpus)
+    # max_block_size high: the oracle models the un-salted construction
+    # (hot-bucket salting is covered by tests/test_blocking.py instead)
+    return simhash_candidate_pairs(corpus, max_block_size=1_000_000)
 
 
 @query(
@@ -1091,14 +1126,36 @@ def text_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score_col(F.col("text")).alias("quality_score"))
 
 
-@query("text_fingerprint")  # xxhash64 fingerprint — rows-only
+@query(
+    "text_fingerprint",
+    """
+    with toks as (
+      select doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') as all_toks,
+        list_filter(
+          regexp_split_to_array(lower(regexp_replace(text, '[^\\w\\s]', '', 'g')), '\\s+'),
+          t -> t <> ''
+        ) as ftoks
+      from documents
+    ), sh as (
+      select doc_id, len(all_toks) as token_count,
+        case when len(ftoks) >= 4
+          then list_transform(range(0, len(ftoks) - 3),
+                              i -> array_to_string(ftoks[(i+1):(i+4)], ' '))
+          else [array_to_string(ftoks, ' ')] end as shingles
+      from toks
+    )
+    select doc_id, token_count,
+      list_min(list_transform(shingles,
+                              s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) as fingerprint
+    from sh
+    """,
+)
 def text_fingerprint(spark, sf_dir):
     from payor_mdm_spark.operators.text_analysis import analyze_documents
 
     d = _t(spark, sf_dir, "documents")
-    return analyze_documents(d).select(
-        "doc_id", "token_count", "quality_score", "lang_pred", "fingerprint"
-    )
+    return analyze_documents(d).select("doc_id", "token_count", "fingerprint")
 
 
 @query(
