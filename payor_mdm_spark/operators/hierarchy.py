@@ -17,6 +17,13 @@ int_hierarchy_inferred.sql + payor_hierarchy.sql. Two signals:
 
 Hierarchy ids are deterministic (md5 of parent|child|method) instead of
 uuid_string() (payor_hierarchy.sql:11; SURVEY §2.7 determinism rule).
+
+Steward write-back (S8, app/src/pages/HierarchyManager.tsx:112 +
+05_create_master_tables.sql:80-90): edges are tentative
+(steward_confirmed=false) until a steward confirms them, and stewards can
+insert manual edges with steward_confirmed=true. apply_hierarchy_overrides
+overlays the append-only overrides table onto a freshly inferred hierarchy,
+so confirmations and manual edges survive pipeline re-runs.
 """
 
 from __future__ import annotations
@@ -139,3 +146,51 @@ def infer_hierarchy(
             "relationship_type", "inference_method", "steward_confirmed",
         )
     )
+
+
+def apply_hierarchy_overrides(
+    hierarchy: DataFrame, overrides: DataFrame | None
+) -> DataFrame:
+    """Overlay steward hierarchy decisions onto an inferred hierarchy.
+
+    ``overrides`` rows (latest per parent/child pair): action='confirm'
+    marks a matching inferred edge steward_confirmed=true
+    (05_create_master_tables.sql:88 — edges are tentative until
+    confirmed); action='insert' adds a manual edge with
+    steward_confirmed=true and inference_method='steward_manual'
+    (HierarchyManager.tsx:112's INSERT). Manual edges that duplicate an
+    inferred (parent, child) pair confirm it instead of duplicating.
+    """
+    if overrides is None:
+        return hierarchy
+    keys = ["parent_master_id", "child_master_id"]
+    ov = overrides.select(
+        *keys,
+        F.col("action").alias("_action"),
+        F.col("relationship_type").alias("_rel"),
+    )
+    confirmed = (
+        hierarchy.join(F.broadcast(ov), keys, "left")
+        .withColumn(
+            "steward_confirmed",
+            F.col("steward_confirmed") | F.col("_action").isNotNull(),
+        )
+        .drop("_action", "_rel")
+    )
+    manual = (
+        ov.filter(F.col("_action") == "insert")
+        .join(hierarchy.select(*keys), keys, "left_anti")
+        .select(
+            deterministic_id(
+                F.col("parent_master_id"), F.col("child_master_id"),
+                F.lit("steward_manual"),
+            ).alias("hierarchy_id"),
+            *keys,
+            F.coalesce(F.col("_rel"), F.lit("parent_company")).alias(
+                "relationship_type"
+            ),
+            F.lit("steward_manual").alias("inference_method"),
+            F.lit(True).alias("steward_confirmed"),
+        )
+    )
+    return confirmed.unionByName(manual)

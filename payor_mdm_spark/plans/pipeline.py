@@ -24,7 +24,10 @@ from payor_mdm_spark.operators.blocking import candidate_pairs
 from payor_mdm_spark.operators.candidates import build_candidates
 from payor_mdm_spark.operators.clustering import build_match_groups
 from payor_mdm_spark.operators.golden import build_xref, golden_records
-from payor_mdm_spark.operators.hierarchy import infer_hierarchy
+from payor_mdm_spark.operators.hierarchy import (
+    apply_hierarchy_overrides,
+    infer_hierarchy,
+)
 from payor_mdm_spark.operators.rollup import rollup_conversations
 from payor_mdm_spark.operators.scoring import score_pairs
 from payor_mdm_spark.operators.staging import stage_records
@@ -50,6 +53,7 @@ def run_pipeline(
     run_ts: str = "2026-01-01 00:00:00",
     resume: bool = False,
     steward_decisions: DataFrame | None = None,
+    hierarchy_overrides: DataFrame | None = None,
     max_block_size: int | None = None,
     shuffle_partitions: int | None = None,
     collect_metrics: bool = True,
@@ -137,7 +141,12 @@ def run_pipeline(
     survived = stage("survived", lambda: survive_groups(groups, staged))
     golden = stage("golden", lambda: golden_records(survived, run_ts=run_ts))
     xref = stage("xref", lambda: build_xref(groups, staged))
-    stage("hierarchy", lambda: infer_hierarchy(staged, xref, golden))
+    stage(
+        "hierarchy",
+        lambda: apply_hierarchy_overrides(
+            infer_hierarchy(staged, xref, golden), hierarchy_overrides
+        ),
+    )
 
     if collect_metrics:
         metrics_df = spark.createDataFrame(

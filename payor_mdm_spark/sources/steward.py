@@ -134,3 +134,75 @@ def strategy_performance(candidates: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("auto_decision") == "review", 1).otherwise(0)).alias("review_count"),
         F.sum(F.when(F.col("auto_decision") == "auto_no_match", 1).otherwise(0)).alias("auto_no_match_count"),
     )
+
+
+_HIERARCHY_ROW_SCHEMA = (
+    "parent_master_id string, child_master_id string, action string, "
+    "relationship_type string, steward_user string, steward_ts_str string"
+)
+
+
+def record_hierarchy_decision(
+    spark: SparkSession,
+    store: CheckpointStore,
+    parent_master_id: str,
+    child_master_id: str,
+    action: str,
+    user: str,
+    relationship_type: str = "parent_company",
+    decided_at: str = "2026-01-01 00:00:00",
+    table: str = "hierarchy_overrides",
+    audit_table: str = "mdm_change_log",
+) -> None:
+    """Append one steward hierarchy decision + one audit row.
+
+    The Spark analog of HierarchyManager.tsx:112's INSERT (manual edge,
+    action='insert') and of confirming a tentative inferred edge
+    (05_create_master_tables.sql:88 steward_confirmed, action='confirm').
+    Applied to the inferred hierarchy by
+    operators.hierarchy.apply_hierarchy_overrides, so decisions survive
+    pipeline re-runs.
+    """
+    if action not in ("confirm", "insert"):
+        raise ValueError(f"invalid hierarchy action: {action}")
+    if parent_master_id == child_master_id:
+        raise ValueError("parent and child must differ")
+    row = (
+        spark.createDataFrame(
+            [(parent_master_id, child_master_id, action, relationship_type,
+              user, decided_at)],
+            _HIERARCHY_ROW_SCHEMA,
+        )
+        .withColumn("steward_timestamp", F.col("steward_ts_str").cast("timestamp"))
+        .drop("steward_ts_str")
+    )
+    existing = store.read(table) if store.exists(table) else None
+    store.write(table, existing.unionByName(row) if existing is not None else row)
+
+    audit = spark.createDataFrame(
+        [(f"{parent_master_id}->{child_master_id}", "hierarchy_decision",
+          None, action, user, decided_at)],
+        "entity_key string, field_name string, old_value string, "
+        "new_value string, changed_by string, changed_at string",
+    ).withColumn("changed_at", F.col("changed_at").cast("timestamp"))
+    prev = store.read(audit_table) if store.exists(audit_table) else None
+    store.write(audit_table, prev.unionByName(audit) if prev is not None else audit)
+
+
+def read_hierarchy_overrides(
+    store: CheckpointStore, table: str = "hierarchy_overrides"
+) -> DataFrame | None:
+    """Latest decision per (parent, child) edge (append-only, last wins)."""
+    if not store.exists(table):
+        return None
+    from pyspark.sql.window import Window
+
+    df = store.read(table)
+    w = Window.partitionBy("parent_master_id", "child_master_id").orderBy(
+        F.col("steward_timestamp").desc_nulls_last()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

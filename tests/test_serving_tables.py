@@ -104,3 +104,120 @@ class TestAuditLog:
         assert log == {"a": "delete", "b": "update", "c": "insert"}
         first = audit_log(None, new, "master_entity_id", "2026-01-01 00:00:00")
         assert {r.change_type for r in first.collect()} == {"insert"}
+
+
+class TestHierarchyStewardWriteBack:
+    """VERDICT r01 item 6: confirm-existing, insert-manual, and survival of
+    steward_confirmed across a pipeline re-run."""
+
+    def _store(self, spark, tmp_path):
+        from payor_mdm_spark.sources.catalog import CheckpointStore
+
+        return CheckpointStore(spark, str(tmp_path / "hier"))
+
+    def _inferred(self, spark):
+        return spark.createDataFrame(
+            [
+                ("h1", "P1", "C1", "parent_company", "name_substring", False),
+                ("h2", "P1", "C2", "parent_company", "name_ref_match", False),
+            ],
+            "hierarchy_id string, parent_master_id string, child_master_id string, "
+            "relationship_type string, inference_method string, steward_confirmed boolean",
+        )
+
+    def test_confirm_existing_edge(self, spark, tmp_path):
+        from payor_mdm_spark.operators.hierarchy import apply_hierarchy_overrides
+        from payor_mdm_spark.sources.steward import (
+            read_hierarchy_overrides,
+            record_hierarchy_decision,
+        )
+
+        store = self._store(spark, tmp_path)
+        record_hierarchy_decision(spark, store, "P1", "C1", "confirm", "alice")
+        out = apply_hierarchy_overrides(
+            self._inferred(spark), read_hierarchy_overrides(store)
+        )
+        rows = {(r.parent_master_id, r.child_master_id): r for r in out.collect()}
+        assert rows[("P1", "C1")].steward_confirmed is True
+        assert rows[("P1", "C2")].steward_confirmed is False
+        assert len(rows) == 2  # no duplicate edge added
+        # audit row recorded
+        audit = store.read("mdm_change_log").collect()
+        assert any(a.new_value == "confirm" and a.changed_by == "alice" for a in audit)
+
+    def test_insert_manual_edge(self, spark, tmp_path):
+        from payor_mdm_spark.operators.hierarchy import apply_hierarchy_overrides
+        from payor_mdm_spark.sources.steward import (
+            read_hierarchy_overrides,
+            record_hierarchy_decision,
+        )
+
+        store = self._store(spark, tmp_path)
+        record_hierarchy_decision(
+            spark, store, "P9", "C9", "insert", "bob", relationship_type="subsidiary"
+        )
+        out = apply_hierarchy_overrides(
+            self._inferred(spark), read_hierarchy_overrides(store)
+        )
+        rows = {(r.parent_master_id, r.child_master_id): r for r in out.collect()}
+        manual = rows[("P9", "C9")]
+        assert manual.steward_confirmed is True
+        assert manual.inference_method == "steward_manual"
+        assert manual.relationship_type == "subsidiary"
+        assert manual.hierarchy_id is not None
+        # inserting an edge that already exists confirms instead of duplicating
+        record_hierarchy_decision(spark, store, "P1", "C1", "insert", "bob")
+        out2 = apply_hierarchy_overrides(
+            self._inferred(spark), read_hierarchy_overrides(store)
+        )
+        assert out2.filter("parent_master_id = 'P1' and child_master_id = 'C1'").count() == 1
+        assert out2.filter(
+            "parent_master_id = 'P1' and child_master_id = 'C1'"
+        ).collect()[0].steward_confirmed is True
+
+    def test_invalid_action_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from payor_mdm_spark.sources.steward import record_hierarchy_decision
+
+        store = self._store(spark, tmp_path)
+        with _pytest.raises(ValueError):
+            record_hierarchy_decision(spark, store, "P1", "C1", "frobnicate", "x")
+        with _pytest.raises(ValueError):
+            record_hierarchy_decision(spark, store, "P1", "P1", "confirm", "x")
+
+    def test_confirmation_survives_pipeline_rerun(self, spark, world, tmp_path):
+        from payor_mdm_spark.plans.pipeline import run_pipeline
+        from payor_mdm_spark.sources.catalog import CheckpointStore
+        from payor_mdm_spark.sources.steward import (
+            read_hierarchy_overrides,
+            record_hierarchy_decision,
+        )
+
+        turns = spark.read.parquet(world["turns_path"])
+        store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+        first = run_pipeline(spark, turns, store, collect_metrics=False)
+        edge = first.tables["hierarchy"].select(
+            "parent_master_id", "child_master_id"
+        ).orderBy("parent_master_id", "child_master_id").first()
+        record_hierarchy_decision(
+            spark, store, edge.parent_master_id, edge.child_master_id,
+            "confirm", "alice",
+        )
+        second = run_pipeline(
+            spark, turns, store, collect_metrics=False,
+            hierarchy_overrides=read_hierarchy_overrides(store),
+        )
+        got = second.tables["hierarchy"].filter(
+            (F.col("parent_master_id") == edge.parent_master_id)
+            & (F.col("child_master_id") == edge.child_master_id)
+        ).collect()
+        # the pair may be inferred by both signals (two methods) — every
+        # row of the confirmed pair must carry the confirmation
+        assert len(got) >= 1 and all(r.steward_confirmed for r in got)
+        # everything else stays tentative
+        confirmed_pairs = (
+            second.tables["hierarchy"].filter("steward_confirmed")
+            .select("parent_master_id", "child_master_id").distinct().count()
+        )
+        assert confirmed_pairs == 1
