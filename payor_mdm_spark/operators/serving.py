@@ -81,3 +81,35 @@ def review_queue(candidates: DataFrame, limit: int = 50) -> DataFrame:
         .orderBy(F.col("overall_score").desc(), F.col("candidate_id"))
         .limit(limit)
     )
+
+
+def golden_browse(
+    golden: DataFrame,
+    xref: DataFrame,
+    search: str | None = None,
+    limit: int = 50,
+    offset: int = 0,
+) -> DataFrame:
+    """The golden-record browse/search page (GoldenRecords.tsx:48-71):
+    every golden row + its XREF source count, optional case-insensitive
+    name filter, ordered by name, paginated. The reference issues a
+    correlated COUNT subquery per row; Spark-first this is a pre-aggregated
+    left join (one small shuffle on master_entity_id, broadcastable).
+    Deterministic pagination: master_entity_id tie-breaks equal names.
+    """
+    counts = xref.groupBy("master_entity_id").agg(
+        F.count(F.lit(1)).alias("source_count")
+    )
+    base = golden.drop("source_count").join(counts, "master_entity_id", "left")
+    base = base.withColumn(
+        "source_count", F.coalesce(F.col("source_count"), F.lit(0))
+    )
+    if search:
+        base = base.filter(
+            F.upper(F.col("name_raw")).contains(search.upper())
+        )
+    return (
+        base.orderBy(F.col("name_raw"), F.col("master_entity_id"))
+        .offset(offset)
+        .limit(limit)
+    )

@@ -28,14 +28,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SOURCE_PRIORITY_FIELDS = (
-    "name_raw", "exact_key_1", "npi", "website", "entity_type",
-    "line_of_business",
-)
-MOST_RECENT_FIELDS = (
-    "addr_line_1", "addr_line_2", "city", "state_code", "zip_code", "phone",
-)
-
 _FAR_FUTURE_US = 2**62  # sort key for NULL loaded_at (nulls last under DESC)
 
 
@@ -48,9 +40,32 @@ def _first_nonnull_by(col: str, priority: Column, tiebreak: Column) -> Column:
     return F.min(packed)["v"].alias(col)
 
 
-def survive_groups(match_groups: DataFrame, staged: DataFrame) -> DataFrame:
+def _most_complete(col: str) -> Column:
+    """Longest non-blank value (ties -> larger value — max over struct)."""
+    packed = F.when(
+        F.col(col).isNotNull() & (F.trim(col) != ""),
+        F.struct(F.length(col).alias("l"), F.col(col).alias("v")),
+    )
+    return F.max(packed)["v"].alias(col)
+
+
+def survive_groups(
+    match_groups: DataFrame, staged: DataFrame,
+    rules: dict[str, str] | None = None,
+) -> DataFrame:
     """match_groups x staged -> one survived row per match_group_id, plus
-    group-level metrics (source_count, confidence_score, record_count)."""
+    group-level metrics (source_count, confidence_score, record_count).
+
+    ``rules`` maps field -> rule family and defaults to
+    config.SURVIVORSHIP_RULES — the same map seed_survivorship_config
+    persists as the SURVIVORSHIP_CONFIG table (rules-as-data,
+    05_create_master_tables.sql:100-110): the pipeline reads the seeded
+    table and passes it here, so stewards can flip a field's rule without
+    a code change (exceeds the reference, whose int_survivorship.sql
+    hard-codes the families)."""
+    from payor_mdm_spark.config import SURVIVORSHIP_RULES
+
+    rules = dict(SURVIVORSHIP_RULES) if rules is None else dict(rules)
     members = match_groups.select(
         "match_group_id", "source_record_id", "group_confidence"
     ).join(staged, "source_record_id")
@@ -66,25 +81,25 @@ def survive_groups(match_groups: DataFrame, staged: DataFrame) -> DataFrame:
         F.col("loaded_at").isNotNull(), -F.unix_micros(F.col("loaded_at"))
     ).otherwise(F.lit(_FAR_FUTURE_US))
 
-    aggs: list[Column] = []
-    for c in SOURCE_PRIORITY_FIELDS:
-        aggs.append(_first_nonnull_by(c, trust, rid))
-    aggs.append(_first_nonnull_by("exact_key_2", cms_priority, rid))
-    for c in MOST_RECENT_FIELDS:
-        aggs.append(_first_nonnull_by(c, recency, rid))
-    # most_complete: longest non-blank name_alt (ties -> larger value, then
-    # larger id — max over struct)
-    name_alt_packed = F.when(
-        F.col("name_alt").isNotNull() & (F.trim("name_alt") != ""),
-        F.struct(
-            F.length("name_alt").alias("l"),
-            F.col("name_alt").alias("v"),
-        ),
+    builders = {
+        "source_priority": lambda c: _first_nonnull_by(c, trust, rid),
+        "cms_reference_first": lambda c: _first_nonnull_by(c, cms_priority, rid),
+        "most_recent": lambda c: _first_nonnull_by(c, recency, rid),
+        "most_complete": _most_complete,
+        "any_true": lambda c: F.bool_or(c).alias(c),
+        "min": lambda c: F.min(c).alias(c),
+        "max": lambda c: F.max(c).alias(c),
+    }
+    unknown = {r for r in rules.values() if r not in builders}
+    if unknown:
+        raise ValueError(f"unknown survivorship rule families: {sorted(unknown)}")
+    # deterministic output column order regardless of where the rules came
+    # from (dict vs collected table rows): config order first, extras sorted
+    base_order = {f: i for i, f in enumerate(SURVIVORSHIP_RULES)}
+    ordered = sorted(
+        rules.items(), key=lambda kv: (base_order.get(kv[0], len(base_order)), kv[0])
     )
-    aggs.append(F.max(name_alt_packed)["v"].alias("name_alt"))
-    aggs.append(F.bool_or("is_active").alias("is_active"))
-    aggs.append(F.min("effective_date").alias("effective_date"))
-    aggs.append(F.max("termination_date").alias("termination_date"))
+    aggs: list[Column] = [builders[rule](field) for field, rule in ordered]
     # group metrics (golden_payors.sql:22-42)
     aggs.append(F.countDistinct("source_system").alias("source_count"))
     aggs.append(

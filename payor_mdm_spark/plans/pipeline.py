@@ -54,6 +54,7 @@ def run_pipeline(
     resume: bool = False,
     steward_decisions: DataFrame | None = None,
     hierarchy_overrides: DataFrame | None = None,
+    survivorship_rules: dict[str, str] | None = None,
     max_block_size: int | None = None,
     shuffle_partitions: int | None = None,
     collect_metrics: bool = True,
@@ -138,7 +139,16 @@ def run_pipeline(
     groups = stage(
         "match_groups", lambda: build_match_groups(candidates, staged)
     )
-    survived = stage("survived", lambda: survive_groups(groups, staged))
+    # rules-as-data: an explicit dict wins; otherwise the seeded
+    # SURVIVORSHIP_CONFIG table (sources/steward.seed_survivorship_config)
+    # drives the aggregation; the config constants are the last fallback
+    rules = survivorship_rules
+    if rules is None and store.exists("survivorship_config"):
+        rules = {
+            r["field_name"]: r["rule"]
+            for r in store.read("survivorship_config").collect()
+        }
+    survived = stage("survived", lambda: survive_groups(groups, staged, rules=rules))
     golden = stage("golden", lambda: golden_records(survived, run_ts=run_ts))
     xref = stage("xref", lambda: build_xref(groups, staged))
     stage(

@@ -1159,6 +1159,37 @@ def text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "golden_browse",
+    """
+    with counts as (
+      select o_custkey as master_entity_id, count(*) as source_count
+      from orders group by 1
+    )
+    select c.c_custkey as master_entity_id, c.c_name as name_raw,
+           coalesce(n.source_count, 0) as source_count
+    from customer c
+    left join counts n on n.master_entity_id = c.c_custkey
+    where upper(c.c_name) like '%001%'
+    order by c.c_name, c.c_custkey
+    limit 20 offset 5
+    """,
+)
+def golden_browse(spark, sf_dir):
+    """Filtered + paginated golden browse (GoldenRecords.tsx:48-71) via
+    operators.serving.golden_browse, demonstrated on customer/orders."""
+    from payor_mdm_spark.operators.serving import golden_browse as gb
+
+    golden = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("master_entity_id"),
+        F.col("c_name").alias("name_raw"),
+    )
+    xref = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("master_entity_id")
+    )
+    return gb(golden, xref, search="001", limit=20, offset=5)
+
+
+@query(
     "serving_completeness_by_source",
     """
     select source,

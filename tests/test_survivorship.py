@@ -120,3 +120,65 @@ def test_golden_completeness(spark):
     # is_active, effective_date
     assert abs(g.completeness_score - round(9 / 15.0, 4)) < 1e-9
     assert g.master_entity_id == "g1"
+
+
+def test_rules_as_data_override_flips_field(spark):
+    """VERDICT r01 item 8: SURVIVORSHIP_CONFIG drives the aggregation — a
+    steward flipping name_raw from source_priority to most_recent changes
+    the survivor without a code change."""
+    from payor_mdm_spark.config import SURVIVORSHIP_RULES
+
+    staged = spark.createDataFrame(
+        [
+            _staged_row("crm:1", "crm", 1, TS(2024, 1, 1), name="Crm Name"),
+            _staged_row("claims:1", "claims", 2, TS(2024, 3, 1), name="Claims Name"),
+        ],
+        _SCHEMA,
+    )
+    groups = spark.createDataFrame(
+        [("g1", "crm:1", 0.9), ("g1", "claims:1", 0.9)],
+        "match_group_id string, source_record_id string, group_confidence double",
+    )
+    default = survive_groups(groups, staged).collect()[0]
+    assert default.name_raw == "Crm Name"  # trust 1 wins source_priority
+
+    flipped = dict(SURVIVORSHIP_RULES)
+    flipped["name_raw"] = "most_recent"
+    overridden = survive_groups(groups, staged, rules=flipped).collect()[0]
+    assert overridden.name_raw == "Claims Name"  # newest loaded_at wins now
+    # column order stays stable under overrides
+    assert [f for f in default.asDict()] == [f for f in overridden.asDict()]
+
+
+def test_unknown_rule_family_rejected(spark):
+    import pytest as _pytest
+
+    staged = spark.createDataFrame(
+        [_staged_row("crm:1", "crm", 1, TS(2024, 1, 1), name="X")], _SCHEMA
+    )
+    groups = spark.createDataFrame(
+        [("g1", "crm:1", 0.9)],
+        "match_group_id string, source_record_id string, group_confidence double",
+    )
+    with _pytest.raises(ValueError, match="unknown survivorship rule"):
+        survive_groups(groups, staged, rules={"name_raw": "most_frequent"})
+
+
+def test_seeded_config_drives_pipeline(spark, world, tmp_path):
+    """run_pipeline picks the rules up from the seeded SURVIVORSHIP_CONFIG
+    table when no explicit dict is passed."""
+    from payor_mdm_spark.plans.pipeline import run_pipeline
+    from payor_mdm_spark.sources.catalog import CheckpointStore
+    from payor_mdm_spark.sources.steward import seed_survivorship_config
+
+    turns = spark.read.parquet(world["turns_path"])
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    seed_survivorship_config(spark, store)
+    res = run_pipeline(spark, turns, store, collect_metrics=False)
+    assert res.tables["survived"].count() > 0
+    # seeded default == constants: golden output matches a constants run
+    store2 = CheckpointStore(spark, str(tmp_path / "ckpt2"))
+    res2 = run_pipeline(spark, turns, store2, collect_metrics=False)
+    a = {r.master_entity_id for r in res.tables["golden"].collect()}
+    b = {r.master_entity_id for r in res2.tables["golden"].collect()}
+    assert a == b
