@@ -55,29 +55,29 @@ STRING_SCORES_SCHEMA = StructType(
 )
 
 
-@_kernel_cache
-def route_name(a: str, b: str) -> tuple[float, str]:
-    """Name-strategy router on already upper/stripped inputs.
-
-    Memoized: a record participates in many candidate pairs, so the same
-    (a, b) name pair recurs within a Python worker (workers are reused
-    across Arrow batches); the per-name sub-kernels (expansion, metaphone,
-    trigram counters) are additionally memoized in functions/similarity.py.
-    """
-    has_abbrev = any(t in ABBREVS for t in a.split()) or any(
-        t in ABBREVS for t in b.split()
+def _route_name_impl(
+    a: str, b: str, abbrevs: dict[str, str] | None = None
+) -> tuple[float, str]:
+    """Name-strategy router on already upper/stripped inputs, against an
+    explicit abbreviation table (None -> config.ABBREVS). The table is
+    data, not code: stewards extend ABBREVIATION_DICT
+    (12_abbreviation_dict.sql:49-75) and the router picks it up via
+    apply_ensemble(abbrevs=...)."""
+    table = ABBREVS if abbrevs is None else abbrevs
+    has_abbrev = any(t in table for t in a.split()) or any(
+        t in table for t in b.split()
     )
     mx = max(len(a), len(b))
     len_ratio = min(len(a), len(b)) / mx if mx > 0 else 1.0
 
     results: dict[str, float] = {}
     if has_abbrev:
-        results["NAME_ABR"] = sim.name_abr(a, b)
+        results["NAME_ABR"] = sim.name_abr(a, b, abbrevs)
         results["NAME_JW"] = sim.name_jw(a, b)
         results["NAME_TSR"] = sim.token_sort_ratio(a, b)
     elif len_ratio < 0.6:
         results["NAME_TSR"] = sim.token_sort_ratio(a, b)
-        results["NAME_ABR"] = sim.name_abr(a, b)
+        results["NAME_ABR"] = sim.name_abr(a, b, abbrevs)
     elif mx <= 20:
         results["NAME_JW"] = sim.name_jw(a, b)
         results["NAME_PHO"] = phonetic_equal(a, b)
@@ -88,6 +88,16 @@ def route_name(a: str, b: str) -> tuple[float, str]:
 
     winner = max(results, key=results.get)  # first max in insertion order
     return results[winner], winner
+
+
+@_kernel_cache
+def route_name(a: str, b: str) -> tuple[float, str]:
+    """Default-table router (memoized: a record participates in many
+    candidate pairs, so the same (a, b) name pair recurs within a Python
+    worker; the per-name sub-kernels are additionally memoized in
+    functions/similarity.py). Custom-table calls go through
+    _route_name_impl directly — dicts are not cache keys."""
+    return _route_name_impl(a, b)
 
 
 @_kernel_cache
@@ -118,15 +128,34 @@ def score_tax(a: str | None, b: str | None) -> tuple[float | None, str | None]:
     return trans, ("TIN_TRANS" if trans > 0.0 else "TIN_EXACT")
 
 
-@pandas_udf(STRING_SCORES_SCHEMA)
-def string_scores_udf(
+def make_string_scores_udf(abbrevs: dict[str, str] | None = None):
+    """Build the batched string-field scoring UDF against an abbreviation
+    table (None -> config.ABBREVS). The table ships to workers inside the
+    UDF closure (a broadcast-sized dict; at most a few hundred entries)."""
+
+    @pandas_udf(STRING_SCORES_SCHEMA)
+    def _string_scores_udf(
+        name_a: pd.Series, name_b: pd.Series,
+        addr_a: pd.Series, addr_b: pd.Series,
+        tax_a: pd.Series, tax_b: pd.Series,
+    ) -> pd.DataFrame:
+        return _string_scores_batch(
+            name_a, name_b, addr_a, addr_b, tax_a, tax_b, abbrevs
+        )
+
+    return _string_scores_udf
+
+
+def _string_scores_batch(
     name_a: pd.Series, name_b: pd.Series,
     addr_a: pd.Series, addr_b: pd.Series,
     tax_a: pd.Series, tax_b: pd.Series,
+    abbrevs: dict[str, str] | None = None,
 ) -> pd.DataFrame:
     """Batched string-field scoring. One Arrow batch in, one struct column
     out; the per-value loop runs over an in-memory batch (no per-row
     Python<->JVM crossings, per input_hint 'no per-row Python')."""
+    table = ABBREVS if abbrevs is None else abbrevs
     n = len(name_a)
     out = {
         "name_score": [None] * n, "name_strategy": [None] * n,
@@ -154,14 +183,18 @@ def string_scores_udf(
                 # else NAME_JW (len_ratio == 1.0 skips the TSR branch).
                 # Equivalence with route_name is pinned by
                 # tests/test_ensemble_spark.py::test_identical_fast_path.
-                has_abbrev = any(t in ABBREVS for t in ua.split())
+                has_abbrev = any(t in table for t in ua.split())
                 out["name_score"][i] = 1.0
                 out["name_strategy"][i] = "NAME_ABR" if has_abbrev else "NAME_JW"
             else:
                 key = (ua, ub)
                 hit = name_memo.get(key)
                 if hit is None:
-                    hit = route_name(ua, ub)
+                    hit = (
+                        route_name(ua, ub)
+                        if abbrevs is None
+                        else _route_name_impl(ua, ub, abbrevs)
+                    )
                     name_memo[key] = hit
                 out["name_score"][i], out["name_strategy"][i] = hit
         aa, ab = aa_l[i], ab_l[i]
@@ -195,6 +228,11 @@ def string_scores_udf(
     return pd.DataFrame(out)
 
 
+# default-table instance (the common path; custom dictionaries build their
+# own closure via make_string_scores_udf)
+string_scores_udf = make_string_scores_udf()
+
+
 def _digits(col: Column) -> Column:
     return F.regexp_replace(F.coalesce(col, F.lit("")), "[^0-9]", "")
 
@@ -219,11 +257,12 @@ def _present(col: Column) -> Column:
     return col.isNotNull() & (col != "")
 
 
-def _has_abbrev_token(u: Column) -> Column:
-    """any(t in ABBREVS for t in u.split()) — whitespace split, empties
-    dropped (harmless here: '' is never an ABBREVS key)."""
+def _has_abbrev_token(u: Column, abbrevs: dict[str, str] | None = None) -> Column:
+    """any(t in table for t in u.split()) — whitespace split, empties
+    dropped (harmless here: '' is never an abbreviation key)."""
+    table = ABBREVS if abbrevs is None else abbrevs
     return F.arrays_overlap(
-        F.split(u, r"\s+"), F.array(*[F.lit(t) for t in sorted(ABBREVS)])
+        F.split(u, r"\s+"), F.array(*[F.lit(t) for t in sorted(table)])
     )
 
 
@@ -238,7 +277,9 @@ def _nonstop_addr_tokens(u: Column) -> Column:
     )
 
 
-def name_fast_path(a: Column, b: Column) -> tuple[Column, Column, Column]:
+def name_fast_path(
+    a: Column, b: Column, abbrevs: dict[str, str] | None = None
+) -> tuple[Column, Column, Column]:
     """(decidable, score, strategy) for the name field without the router."""
     ua, ub = _upper_trim(a), _upper_trim(b)
     both = _present(a) & _present(b)
@@ -247,7 +288,7 @@ def name_fast_path(a: Column, b: Column) -> tuple[Column, Column, Column]:
     score = F.when(both & identical, F.lit(1.0))
     strategy = F.when(
         both & identical,
-        F.when(_has_abbrev_token(ua), "NAME_ABR").otherwise("NAME_JW"),
+        F.when(_has_abbrev_token(ua, abbrevs), "NAME_ABR").otherwise("NAME_JW"),
     )
     return decidable, score, strategy
 
@@ -356,7 +397,11 @@ def composite_col(
     return F.when(den > 0, F.round(num / den, 4))
 
 
-def apply_ensemble(pairs: DataFrame, split_fast_path: bool = True) -> DataFrame:
+def apply_ensemble(
+    pairs: DataFrame,
+    split_fast_path: bool = True,
+    abbrevs: dict[str, str] | None = None,
+) -> DataFrame:
     """Add ensemble score columns to a rehydrated pair DataFrame.
 
     Expects columns: name_a/name_b, addr_a/addr_b, exact_key_1_a/_b (tax
@@ -373,11 +418,12 @@ def apply_ensemble(pairs: DataFrame, split_fast_path: bool = True) -> DataFrame:
     (split_fast_path=False keeps the old single-branch plan for A/B
     testing).
     """
+    udf = string_scores_udf if abbrevs is None else make_string_scores_udf(abbrevs)
     tax_s, tax_strat = tax_score_cols(
         F.col("exact_key_1_a"), F.col("exact_key_1_b")
     )
     name_dec, name_s_fast, name_strat_fast = name_fast_path(
-        F.col("name_a"), F.col("name_b")
+        F.col("name_a"), F.col("name_b"), abbrevs
     )
     addr_dec, addr_s_fast, addr_strat_fast = addr_fast_path(
         F.col("addr_a"), F.col("addr_b")
@@ -396,7 +442,7 @@ def apply_ensemble(pairs: DataFrame, split_fast_path: bool = True) -> DataFrame:
             pairs.filter(~fast_cond)
             .withColumn(
                 "_str",
-                string_scores_udf(
+                udf(
                     F.col("name_a"), F.col("name_b"),
                     F.col("addr_a"), F.col("addr_b"),
                     F.col("exact_key_1_a"), F.col("exact_key_1_b"),
@@ -413,7 +459,7 @@ def apply_ensemble(pairs: DataFrame, split_fast_path: bool = True) -> DataFrame:
         df = (
             pairs.withColumn(
                 "_str",
-                string_scores_udf(
+                udf(
                     F.col("name_a"), F.col("name_b"),
                     F.col("addr_a"), F.col("addr_b"),
                     F.col("exact_key_1_a"), F.col("exact_key_1_b"),

@@ -145,8 +145,20 @@ def expand_abbrevs(name: str) -> str:
     return " ".join(ABBREVS.get(t, t) for t in name.split())
 
 
-def name_abr(a: str, b: str) -> float:
-    return round(jaro_winkler(expand_abbrevs(a), expand_abbrevs(b)), 4)
+def expand_abbrevs_with(name: str, abbrevs: dict[str, str] | None) -> str:
+    """expand_abbrevs against an explicit table (ABBREVIATION_DICT-as-data,
+    12_abbreviation_dict.sql:49-75 — stewards extend the dict without a
+    code change). None -> the config constant (cached path)."""
+    if abbrevs is None:
+        return expand_abbrevs(name)
+    return " ".join(abbrevs.get(t, t) for t in name.split())
+
+
+def name_abr(a: str, b: str, abbrevs: dict[str, str] | None = None) -> float:
+    return round(
+        jaro_winkler(expand_abbrevs_with(a, abbrevs), expand_abbrevs_with(b, abbrevs)),
+        4,
+    )
 
 
 def _ngrams(s: str, n: int = 3) -> list[str]:

@@ -206,3 +206,54 @@ def read_hierarchy_overrides(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def seed_abbreviation_dict(
+    spark: SparkSession, store: CheckpointStore,
+    overrides: dict[str, str] | None = None,
+    table: str = "abbreviation_dict",
+) -> DataFrame:
+    """Idempotent MERGE-style upsert of the abbreviation dictionary keyed
+    on abbreviation (ABBREVIATION_DICT analog, 12_abbreviation_dict.sql:
+    49-75). Config-as-data parity with SURVIVORSHIP_CONFIG: stewards add
+    rows here and the ensemble router picks them up without a code change.
+    """
+    from payor_mdm_spark.config import ABBREVS
+
+    rows = dict(ABBREVS)
+    rows.update(overrides or {})
+    incoming = spark.createDataFrame(
+        [(k, v) for k, v in rows.items()],
+        "abbreviation string, expansion string",
+    )
+    if store.mode == "iceberg" and store.exists(table):
+        incoming.createOrReplaceTempView("_abbr_incoming")
+        store.spark.sql(
+            f"""
+            MERGE INTO {store._table(table)} t
+            USING _abbr_incoming s ON t.abbreviation = s.abbreviation
+            WHEN MATCHED THEN UPDATE SET t.expansion = s.expansion
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        return store.read(table)
+    if store.exists(table):
+        existing = store.read(table)
+        kept = existing.join(incoming, "abbreviation", "left_anti")
+        merged = kept.unionByName(incoming)
+    else:
+        merged = incoming
+    store.write(table, merged)
+    return store.read(table)
+
+
+def load_abbreviation_dict(
+    store: CheckpointStore, table: str = "abbreviation_dict"
+) -> dict[str, str] | None:
+    """The seeded dict as a plain mapping for the router closure (a
+    broadcast-sized table: tens of rows). None if never seeded."""
+    if not store.exists(table):
+        return None
+    return {
+        r["abbreviation"]: r["expansion"] for r in store.read(table).collect()
+    }

@@ -221,3 +221,73 @@ class TestHierarchyStewardWriteBack:
             .select("parent_master_id", "child_master_id").distinct().count()
         )
         assert confirmed_pairs == 1
+
+
+class TestAbbreviationDictAsData:
+    """VERDICT r01 item 10: ABBREVIATION_DICT persisted as a table
+    (12_abbreviation_dict.sql:49-75) and driving the router."""
+
+    def test_seed_idempotent_and_extensible(self, spark, tmp_path):
+        from payor_mdm_spark.config import ABBREVS
+        from payor_mdm_spark.sources.catalog import CheckpointStore
+        from payor_mdm_spark.sources.steward import (
+            load_abbreviation_dict,
+            seed_abbreviation_dict,
+        )
+
+        store = CheckpointStore(spark, str(tmp_path / "abbr"))
+        assert load_abbreviation_dict(store) is None
+        seed_abbreviation_dict(spark, store)
+        seed_abbreviation_dict(spark, store)  # idempotent
+        d = load_abbreviation_dict(store)
+        assert d == dict(ABBREVS)
+        seed_abbreviation_dict(spark, store, overrides={"ZZH": "ZEBRA ZONE HEALTH"})
+        d2 = load_abbreviation_dict(store)
+        assert d2["ZZH"] == "ZEBRA ZONE HEALTH"
+        assert len(d2) == len(ABBREVS) + 1
+
+    def test_steward_added_abbrev_routes_name_abr(self, spark, tmp_path):
+        """An abbreviation that exists ONLY in the table must flip the
+        router to the NAME_ABR branch and score the expanded pair 1.0."""
+        from payor_mdm_spark.functions.ensemble import apply_ensemble
+        from payor_mdm_spark.sources.catalog import CheckpointStore
+        from payor_mdm_spark.sources.steward import (
+            load_abbreviation_dict,
+            seed_abbreviation_dict,
+        )
+
+        store = CheckpointStore(spark, str(tmp_path / "abbr"))
+        seed_abbreviation_dict(spark, store, overrides={"ZZH": "ZEBRA ZONE HEALTH"})
+        table = load_abbreviation_dict(store)
+
+        pair = spark.createDataFrame(
+            [("ZZH OF TEXAS", "ZEBRA ZONE HEALTH OF TEXAS",
+              None, None, None, None, None, None, None, None)],
+            "name_a string, name_b string, exact_key_1_a string, exact_key_1_b string, "
+            "addr_a string, addr_b string, phone_a string, phone_b string, "
+            "exact_key_2_a string, exact_key_2_b string",
+        )
+        with_dict = apply_ensemble(pair, abbrevs=table).collect()[0]
+        assert with_dict.winning_name_strategy == "NAME_ABR"
+        assert with_dict.score_name == 1.0
+
+        without = apply_ensemble(pair).collect()[0]  # config constants only
+        assert without.score_name < 1.0  # ZZH unknown -> no expansion
+
+    def test_identical_name_with_table_abbrev_fast_path(self, spark, tmp_path):
+        """The native fast path must consult the same table: identical names
+        containing a steward abbreviation report NAME_ABR."""
+        from payor_mdm_spark.functions.ensemble import apply_ensemble
+
+        pair = spark.createDataFrame(
+            [("ZZH OF TEXAS", "ZZH OF TEXAS",
+              None, None, None, None, None, None, None, None)],
+            "name_a string, name_b string, exact_key_1_a string, exact_key_1_b string, "
+            "addr_a string, addr_b string, phone_a string, phone_b string, "
+            "exact_key_2_a string, exact_key_2_b string",
+        )
+        custom = {"ZZH": "ZEBRA ZONE HEALTH"}
+        got = apply_ensemble(pair, abbrevs=custom).collect()[0]
+        assert got.winning_name_strategy == "NAME_ABR"
+        got_default = apply_ensemble(pair).collect()[0]
+        assert got_default.winning_name_strategy == "NAME_JW"
