@@ -44,14 +44,37 @@ class CheckpointStore:
     def _table(self, name: str) -> str:
         return f"{self.iceberg_namespace}.{name}" if self.iceberg_namespace else name
 
-    def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+    ) -> None:
+        """Commit a stage table. ``bucket_by=(n, cols)`` is the 10^12-row
+        layout knob: on Iceberg it becomes a bucket(n, col) partition
+        transform (co-located equi-joins on conv_id without a shuffle, and
+        manifest-level pruning); the parquet dialect approximates it with a
+        hash repartition into n files so downstream same-key joins read
+        co-located files."""
         if self.mode == "iceberg":
+            from pyspark.sql.functions import partitioning
+
             writer = df.writeTo(self._table(name))
+            parts = []
+            if bucket_by:
+                n, cols = bucket_by
+                parts.extend(partitioning.bucket(n, df[c]) for c in cols)
             if partition_by:
-                writer = writer.partitionedBy(*[df[c] for c in partition_by])
+                parts.extend(df[c] for c in partition_by)
+            if parts:
+                writer = writer.partitionedBy(*parts)
             writer.createOrReplace()
             return
         # atomic-replace parquet: write to tmp, swap
+        if bucket_by:
+            n, cols = bucket_by
+            df = df.repartition(n, *cols)
         final = self._path(name)
         tmp = final + f".tmp-{int(time.time() * 1e6)}"
         w = df.write.mode("overwrite")
