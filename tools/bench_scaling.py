@@ -42,6 +42,10 @@ spark = get_spark(app_name=f"score{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus, 16))
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet(pairs_path)  # on-disk input: no heap-resident blocks
+# warm-up: start the Python workers + JIT the scan pipeline on a small
+# slice so the measurement is steady-state kernel throughput (the declared
+# metric), not JVM/worker boot amortization
+apply_ensemble(df.limit(20000)).select(F.sum("composite")).collect()
 t0 = time.time()
 apply_ensemble(df).select(F.sum("composite")).collect()
 dt = time.time() - t0
@@ -134,11 +138,11 @@ def main() -> None:
     print("pair inputs materialized", file=sys.stderr)
 
     # interleaved repeats + best-of: the sandbox shares CPUs, so single
-    # wall-clock samples are noisy; best-of-2 per config with alternating
+    # wall-clock samples are noisy; best-of-3 per config with alternating
     # order controls for drift
     score_runs: dict[int, list] = {2: [], 8: [], 32: []}
     pipe_runs: dict[int, list] = {8: [], 32: []}
-    for _ in range(2):
+    for _ in range(3):
         for cpus in (2, 8, 32):
             # local[2] gets a quarter of the pairs so all runs take
             # comparable wall time; throughput is the measured quantity
@@ -188,7 +192,7 @@ def main() -> None:
 No real cluster exists in this sandbox, so the two-cluster-size criterion
 is evidenced by running the SAME job on identical inputs at multiple
 parallelism levels in separate JVMs (task directive: "e.g. local[8] and
-local[32], or N and 4N cores"). All numbers are best-of-2 interleaved runs.
+local[32], or N and 4N cores"). All numbers are best-of-3 interleaved runs.
 
 ### 1. Declared throughput metric: candidate-pairs-scored/sec
 
