@@ -272,3 +272,121 @@ def simhash_candidate_pairs(
         )
         .distinct()
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs -> transitive dup clusters -> canonical keeper.
+
+    The corpus-dedup closer: pairs from ANY detection pass (exact, MinHash,
+    SimHash, embedding-cosine) are clustered with the same distributed
+    connected-components operator as entity resolution
+    (operators/clustering.propagate_labels — hash-min + pointer jumping,
+    so million-doc dup chains converge in O(log n) rounds), and each
+    cluster keeps its min-id member. Output: [id_col, cluster_root,
+    is_keeper] for every document (singletons are their own root).
+    """
+    # zero-pad ids for the label propagation: component = MIN string id,
+    # and padding makes lexicographic min == numeric min for numeric ids
+    pad = lambda c: F.lpad(c.cast("string"), 24, "0")  # noqa: E731
+    edges = pairs.select(
+        pad(F.col("id_a")).alias("source_record_id_a"),
+        pad(F.col("id_b")).alias("source_record_id_b"),
+    )
+    nodes = docs.select(pad(F.col(id_col)).alias("source_record_id"))
+    from payor_mdm_spark.operators.clustering import propagate_labels
+
+    comp = propagate_labels(edges, nodes)
+    # map the padded root back to the original id domain
+    id_map = docs.select(
+        pad(F.col(id_col)).alias("_pid"), F.col(id_col).alias("cluster_root")
+    )
+    return (
+        docs.select(id_col)
+        .join(
+            comp.select(
+                F.col("source_record_id").alias("_self"),
+                F.col("component").alias("_rootpid"),
+            ),
+            pad(F.col(id_col)) == F.col("_self"),
+        )
+        .join(id_map, F.col("_rootpid") == F.col("_pid"))
+        .drop("_self", "_rootpid", "_pid")
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_root"))
+    )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test contamination check: which test documents leak from the
+    training corpus, exactly or as near-duplicates.
+
+    Scale shape (never all-pairs): an inverted index over word n-grams —
+    train-side grams with document frequency > ``max_df`` are dropped
+    (boilerplate grams carry no contamination signal and would otherwise
+    create quadratic hot buckets) — equi-joins candidate (train, test)
+    pairs, which are then verified with exact word-n-gram Jaccard; byte
+    -identical texts are flagged 'exact' via an md5 equi-join regardless
+    of gram overlap. Output: [test_id, train_id, method, jaccard].
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"), F.col(text_col).alias("_tr_text")
+    )
+    te = test.select(
+        F.col(id_col).alias("test_id"), F.col(text_col).alias("_te_text")
+    )
+
+    exact = (
+        tr.select("train_id", F.md5("_tr_text").alias("_h"))
+        .join(te.select("test_id", F.md5("_te_text").alias("_h")), "_h")
+        .select("test_id", "train_id")
+        .withColumn("method", F.lit("exact"))
+        .withColumn("jaccard", F.lit(1.0))
+    )
+
+    tr_grams = tr.select(
+        "train_id",
+        F.explode(F.array_distinct(_word_ngrams(F.col("_tr_text"), n))).alias("_g"),
+    )
+    hot = (
+        tr_grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_g")
+    )
+    tr_grams = tr_grams.join(F.broadcast(hot), "_g", "left_anti")
+    te_grams = te.select(
+        "test_id",
+        F.explode(F.array_distinct(_word_ngrams(F.col("_te_text"), n))).alias("_g"),
+    )
+    cands = tr_grams.join(te_grams, "_g").select("train_id", "test_id").distinct()
+
+    tr_sets = tr.select(
+        "train_id", F.array_distinct(_word_ngrams(F.col("_tr_text"), n)).alias("_ga")
+    )
+    te_sets = te.select(
+        "test_id", F.array_distinct(_word_ngrams(F.col("_te_text"), n)).alias("_gb")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    near = (
+        cands.join(tr_sets, "train_id")
+        .join(te_sets, "test_id")
+        .withColumn("jaccard", F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("test_id", "train_id", "jaccard")
+        .withColumn("method", F.lit("near"))
+        # exact hits report once, as 'exact'
+        .join(exact.select("test_id", "train_id"), ["test_id", "train_id"], "left_anti")
+    )
+    return exact.unionByName(near.select("test_id", "train_id", "method", "jaccard"))

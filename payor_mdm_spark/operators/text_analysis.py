@@ -146,3 +146,40 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", language_id_col(t))
         .withColumn("fingerprint", doc_fingerprint_col(t))
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM training batches.
+
+    Documents are laid out contiguously in deterministic (partition, id)
+    order; bin k holds token positions [k*budget, (k+1)*budget). Each doc
+    reports the bin its FIRST token lands in plus its offset — the
+    standard GPT-style pack-then-chunk layout, computed with one window
+    cumsum per partition (no global sort: ``partition_col`` bounds every
+    window, so the 100 TB layout is one shuffle by partition key).
+    Output: [id_col, partition_col, token_count, bin_id, bin_offset].
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count_col(t)
+    running = F.sum(toks).over(w)
+    cum_before = (running - toks).cast("long")
+    return docs.select(
+        id_col,
+        partition_col,
+        toks.alias("token_count"),
+        F.floor(cum_before / budget_tokens).alias("bin_id"),
+        (cum_before % budget_tokens).alias("bin_offset"),
+    )

@@ -914,6 +914,153 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_keepers",
+    """
+    -- chain edges (i, i+125) over doc_ids 0..499 -> components
+    -- {i, i+125, i+250, i+375}: ground-truth root = doc_id % 125
+    select doc_id, doc_id % 125 as cluster_root, doc_id < 125 as is_keeper
+    from documents
+    """,
+)
+def dedup_cluster_keepers(spark, sf_dir):
+    """Transitive dup clustering + canonical keeper via the distributed CC
+    operator, on 4-hop chains (beyond any fixed-pass propagation)."""
+    from payor_mdm_spark.operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = d.filter(F.col("doc_id") + 125 <= 499).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 125).alias("id_b")
+    )
+    return dedup_clusters(d, edges)
+
+
+@query(
+    "contamination_check",
+    """
+    with train as (
+      select doc_id, text from documents
+    ), test as (
+      -- every 10th doc leaks verbatim; every 5th (but not 10th) leaks with
+      -- a tail edit; the rest of the test set is clean
+      select doc_id + 9000000 as doc_id, text
+      from documents where doc_id % 10 = 0
+      union all
+      select doc_id + 9500000 as doc_id, text || ' appended tail marker'
+      from documents where doc_id % 5 = 0 and doc_id % 10 <> 0
+    ), grams as (
+      select doc_id, unnest(g) as g from (
+        select doc_id,
+          list_distinct(case when len(toks) >= 5
+            then list_transform(range(0, len(toks) - 4),
+                                i -> array_to_string(toks[(i+1):(i+5)], ' '))
+            else [array_to_string(toks, ' ')] end) as g
+        from (select doc_id,
+                     regexp_split_to_array(lower(text), '\\s+') as toks
+              from train) t
+      ) x
+    ), kept_grams as (
+      select g.doc_id, g.g from grams g
+      join (select g, count(*) as df from grams group by g having count(*) <= 100) ok
+        on ok.g = g.g
+    ), test_grams as (
+      select doc_id, unnest(g) as g from (
+        select doc_id,
+          list_distinct(case when len(toks) >= 5
+            then list_transform(range(0, len(toks) - 4),
+                                i -> array_to_string(toks[(i+1):(i+5)], ' '))
+            else [array_to_string(toks, ' ')] end) as g
+        from (select doc_id,
+                     regexp_split_to_array(lower(text), '\\s+') as toks
+              from test) t
+      ) x
+    ), exact as (
+      select te.doc_id as test_id, tr.doc_id as train_id,
+             'exact' as method, 1.0 as jaccard
+      from train tr join test te on md5(tr.text) = md5(te.text)
+    ), cands as (
+      select distinct kg.doc_id as train_id, tg.doc_id as test_id
+      from kept_grams kg join test_grams tg on kg.g = tg.g
+    ), sets as (
+      select doc_id,
+        list_distinct(case when len(toks) >= 5
+          then list_transform(range(0, len(toks) - 4),
+                              i -> array_to_string(toks[(i+1):(i+5)], ' '))
+          else [array_to_string(toks, ' ')] end) as gs
+      from (select doc_id, regexp_split_to_array(lower(text), '\\s+') as toks
+            from train) t
+    ), tsets as (
+      select doc_id,
+        list_distinct(case when len(toks) >= 5
+          then list_transform(range(0, len(toks) - 4),
+                              i -> array_to_string(toks[(i+1):(i+5)], ' '))
+          else [array_to_string(toks, ' ')] end) as gs
+      from (select doc_id, regexp_split_to_array(lower(text), '\\s+') as toks
+            from test) t
+    ), near as (
+      select c.test_id, c.train_id, 'near' as method,
+        round(cast(len(list_intersect(a.gs, b.gs)) as double)
+              / len(list_distinct(list_concat(a.gs, b.gs))), 4) as jaccard
+      from cands c
+      join sets a on a.doc_id = c.train_id
+      join tsets b on b.doc_id = c.test_id
+      where round(cast(len(list_intersect(a.gs, b.gs)) as double)
+                  / len(list_distinct(list_concat(a.gs, b.gs))), 4) >= 0.8
+        and not exists (select 1 from exact e
+                        where e.test_id = c.test_id and e.train_id = c.train_id)
+    )
+    select * from exact union all select * from near
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Train/test leakage detection (exact + near) via the inverted-index
+    contamination operator."""
+    from payor_mdm_spark.operators.dedup import cross_corpus_contamination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d
+    test = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 9000000).alias("doc_id"), "text"
+    ).unionByName(
+        d.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 10 != 0)).select(
+            (F.col("doc_id") + 9500000).alias("doc_id"),
+            F.concat("text", F.lit(" appended tail marker")).alias("text"),
+        )
+    )
+    return cross_corpus_contamination(
+        train, test, n=5, jaccard_threshold=0.8, max_df=100
+    )
+
+
+@query(
+    "pack_sequences",
+    """
+    with toks as (
+      select doc_id, source,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        t -> t <> '')) as token_count
+      from documents
+    ), packed as (
+      select doc_id, source, token_count,
+        sum(token_count) over (partition by source order by doc_id
+                               rows between unbounded preceding and current row)
+          - token_count as cum_before
+      from toks
+    )
+    select doc_id, source, token_count,
+      cast(floor(cum_before / 2048.0) as bigint) as bin_id,
+      cum_before % 2048 as bin_offset
+    from packed
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (2048-token bins)."""
+    from payor_mdm_spark.operators.text_analysis import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget_tokens=2048)
+
+
+@query(
     "dedup_embedding_cosine",
     """
     with v as (select vec_id, embedding from embeddings)

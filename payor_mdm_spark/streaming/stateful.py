@@ -79,12 +79,15 @@ def assemble_conversations_stream(
             idxs, texts, first_us, last_us = state.get
             idxs, texts = list(idxs), list(texts)
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                idxs.append(int(row["turn_idx"]))
-                texts.append(row["text"])
-                us = int(pd.Timestamp(row["ts"]).value // 1000)
-                first_us = us if first_us is None else min(first_us, us)
-                last_us = us if last_us is None else max(last_us, us)
+            if pdf.empty:
+                continue
+            # vectorized batch fold — no per-row Python (input_hint)
+            idxs.extend(int(v) for v in pdf["turn_idx"].to_numpy())
+            texts.extend(pdf["text"].tolist())
+            us_vals = pdf["ts"].astype("datetime64[us]").astype("int64")
+            lo, hi = int(us_vals.min()), int(us_vals.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
         state.update((idxs, texts, first_us, last_us))
         state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         return

@@ -172,3 +172,114 @@ class TestMultimodal:
 
         stats = {r.kind: r.n for r in media_stats(media).collect()}
         assert stats == {"image": 2, "video": 1, "audio": 1}
+
+
+class TestDedupClusters:
+    def test_transitive_chains_and_singletons(self, spark):
+        from payor_mdm_spark.operators.dedup import dedup_clusters
+
+        docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        # chain 0-1-2, pair 5-6, singletons elsewhere
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+        )
+        got = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+        assert got[0].cluster_root == 0 and got[0].is_keeper
+        assert got[1].cluster_root == 0 and not got[1].is_keeper
+        assert got[2].cluster_root == 0
+        assert got[5].cluster_root == 5 and got[6].cluster_root == 5
+        for i in (3, 4, 7, 8, 9):
+            assert got[i].cluster_root == i and got[i].is_keeper
+
+    def test_numeric_min_not_lexicographic(self, spark):
+        from payor_mdm_spark.operators.dedup import dedup_clusters
+
+        docs = spark.createDataFrame([(99,), (130,)], "doc_id long")
+        pairs = spark.createDataFrame([(99, 130)], "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_root for r in dedup_clusters(docs, pairs).collect()}
+        assert got == {99: 99, 130: 99}  # '130' < '99' lexicographically — padded ids fix it
+
+
+class TestContamination:
+    def _corpora(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog every day"),
+                (2, "completely unrelated training text about spark planning"),
+                (3, "boilerplate header boilerplate header boilerplate header"),
+            ],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [
+                (101, "the quick brown fox jumps over the lazy dog every day"),  # exact
+                (102, "the quick brown fox jumps over the lazy dog every night"),  # near
+                (103, "totally clean evaluation document with novel content here"),
+            ],
+            "doc_id long, text string",
+        )
+        return train, test
+
+    def test_exact_near_and_clean(self, spark):
+        from payor_mdm_spark.operators.dedup import cross_corpus_contamination
+
+        train, test = self._corpora(spark)
+        got = cross_corpus_contamination(
+            train, test, n=3, jaccard_threshold=0.5, max_df=100
+        ).collect()
+        by_test = {}
+        for r in got:
+            by_test.setdefault(r.test_id, []).append(r)
+        assert by_test[101][0].method == "exact" and by_test[101][0].jaccard == 1.0
+        assert by_test[102][0].method == "near" and by_test[102][0].train_id == 1
+        assert 0.5 <= by_test[102][0].jaccard < 1.0
+        assert 103 not in by_test  # clean doc reports nothing
+
+    def test_max_df_drops_boilerplate_grams(self, spark):
+        from payor_mdm_spark.operators.dedup import cross_corpus_contamination
+
+        train = spark.createDataFrame(
+            [(i, "shared boilerplate gram text") for i in range(5)],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(900, "shared boilerplate gram text plus unique suffix")],
+            "doc_id long, text string",
+        )
+        # df cap 2 < 5 -> the only gram is dropped -> no near candidates
+        got = cross_corpus_contamination(
+            train, test, n=4, jaccard_threshold=0.1, max_df=2
+        ).collect()
+        assert all(r.method == "exact" for r in got)
+
+
+class TestPackSequences:
+    def test_bins_and_offsets(self, spark):
+        from payor_mdm_spark.operators.text_analysis import pack_sequences
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a", "one two three"),          # 3 tokens, cum_before 0
+                (2, "a", "four five"),               # cum_before 3
+                (3, "a", "six seven eight nine"),    # cum_before 5 -> bin 1 at budget 4
+                (4, "b", "x"),                       # separate partition restarts
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {r.doc_id: r for r in pack_sequences(docs, budget_tokens=4).collect()}
+        assert (got[1].bin_id, got[1].bin_offset) == (0, 0)
+        assert (got[2].bin_id, got[2].bin_offset) == (0, 3)
+        assert (got[3].bin_id, got[3].bin_offset) == (1, 1)
+        assert (got[4].bin_id, got[4].bin_offset) == (0, 0)
+
+    def test_no_global_sort_in_plan(self, spark):
+        from payor_mdm_spark.operators.text_analysis import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x")], "doc_id long, source string, text string"
+        )
+        plan = (
+            pack_sequences(docs, 2048)._jdf.queryExecution().executedPlan().toString()
+        )
+        # window partitioned by source: a hash exchange, never a global sort
+        assert "rangepartitioning" not in plan.lower()
