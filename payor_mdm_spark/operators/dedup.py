@@ -225,6 +225,53 @@ def simhash_col(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
     return _simhash_from_hashes(token_hashes_col(text_col), bits)
 
 
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """[id, text] -> [source_record_id, _sh] via explode + hash-aggregate.
+
+    Same codegen-first shape as the MinHash signature (higher-order
+    functions are interpreted in Spark): explode the token hashes, compute
+    the per-bit +1/-1 votes as native sum() aggregates (map-side partial
+    combine), assemble the simhash from the vote signs. Bit-identical to
+    _simhash_from_hashes; empty/NULL-token documents (no exploded rows)
+    get simhash 0 via the left join, matching the aggregate init."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    ids = docs.select(F.col(id_col).alias("source_record_id"))
+    exploded = (
+        docs.select(
+            F.col(id_col).alias("source_record_id"),
+            token_hashes_col(F.col(text_col)).alias("_th"),
+        )
+        .repartition(parallelism)
+        .select("source_record_id", F.explode("_th").alias("_h"))
+    )
+
+    def mask(b: int) -> Column:
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    votes = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(mask(b)) != 0, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, mask(b)).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    agg = exploded.groupBy("source_record_id").agg(*votes).select(
+        "source_record_id", sh.alias("_sh")
+    )
+    return ids.join(agg, "source_record_id", "left").select(
+        "source_record_id",
+        F.coalesce(F.col("_sh"), F.lit(0).cast("long")).alias("_sh"),
+    )
+
+
 def simhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -234,20 +281,7 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidates: documents sharing any 15-bit SimHash band
     (guarantees recall of all pairs with Hamming distance < bands)."""
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        docs.select(
-            F.col(id_col).alias("source_record_id"),
-            token_hashes_col(F.col(text_col)).alias("_th"),
-        )
-        # exchange = CollapseProject barrier: without it the tokenize+hash
-        # expression inlines into all 64 bit aggregates
-        .repartition(parallelism)
-        .select(
-            "source_record_id", _simhash_from_hashes(F.col("_th")).alias("_sh")
-        )
-        .localCheckpoint(eager=True)
-    )
+    sh = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=True)
     width = SIMHASH_BITS // bands
     band_structs = F.array(
         *[
