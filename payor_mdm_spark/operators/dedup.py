@@ -160,13 +160,28 @@ def minhash_dedup_pairs(
         .withColumn("_est", agree)
         .filter(F.col("_est") >= jaccard_threshold - margin)
         .select("id_a", "id_b")
-    )
+    ).localCheckpoint(eager=True)
 
     from payor_mdm_spark.operators.blocking import _shingles
 
-    sh = docs.select(
-        F.col(id_col), F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("_g")
-    ).localCheckpoint(eager=True)
+    # exact verification only needs shingle sets for docs that SURVIVED the
+    # estimator prune — a tiny fraction of the corpus. Semi-join before the
+    # (interpreted, allocation-heavy) shingle materialization: at the 100 TB
+    # point this is the difference between shingling the verification set
+    # and re-shingling the whole corpus.
+    needed = (
+        survivors.select(F.col("id_a").alias(id_col))
+        .unionByName(survivors.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(needed, id_col, "semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
