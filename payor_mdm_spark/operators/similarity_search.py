@@ -69,24 +69,33 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sketch(vec: Column, n_planes: int, table: int) -> Column:
-    """Sign sketch: bit p = (sum_i v_i * h(i, p, table) > 0), with
-    pseudo-random +/-1 weights derived from xxhash64 of (index, plane,
-    table) — deterministic, shipped as code not data."""
+def hyperplane_weights(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Deterministic +/-1 hyperplane weights: parity of md5(f"{i},{p},{t}").
+
+    Generated at PLAN time (plain hashlib, no Spark) and embedded as
+    literals — the sketch pays zero per-row hashing, and the exact same
+    weights can be embedded in an ANSI-SQL twin, which is what upgrades
+    ann_lsh_topk from rows-only to a full value oracle."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i},{p},{table}".encode()).hexdigest()[:15], 16) & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _hyperplane_sketch(vec: Column, n_planes: int, table: int, dim: int) -> Column:
+    """Sign sketch: bit p = (dot(v, w_p) > 0) over literal +/-1 weights."""
     bits = []
-    for p in range(n_planes):
+    for p, row in enumerate(hyperplane_weights(dim, n_planes, table)):
+        w = F.array(*[F.lit(x) for x in row])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda i: F.when(
-                        F.xxhash64(i, F.lit(p), F.lit(table)).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda v, w: v * w,
-            ),
+            F.zip_with(vec, w, lambda v, wi: v * wi),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
@@ -106,20 +115,25 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing.
 
     Recall improves with n_tables (union of cohorts); cost per query is the
-    cohort size, not the corpus size.
+    cohort size, not the corpus size. ``dim`` (embedding width) is needed
+    to build the literal weight matrix; when None it is read from one
+    corpus row (a 1-row driver lookup).
     """
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv"))
+    if dim is None:
+        dim = len(c.select("_cv").first()["_cv"])
 
     c_buckets = c.select(
         id_col, "_cv",
         F.explode(
             F.array(*[
-                F.struct(F.lit(t).alias("t"), _hyperplane_sketch(F.col("_cv"), n_planes, t).alias("b"))
+                F.struct(F.lit(t).alias("t"), _hyperplane_sketch(F.col("_cv"), n_planes, t, dim).alias("b"))
                 for t in range(n_tables)
             ])
         ).alias("_tb"),
@@ -128,7 +142,7 @@ def lsh_topk(
         query_id_col, "_qv",
         F.explode(
             F.array(*[
-                F.struct(F.lit(t).alias("t"), _hyperplane_sketch(F.col("_qv"), n_planes, t).alias("b"))
+                F.struct(F.lit(t).alias("t"), _hyperplane_sketch(F.col("_qv"), n_planes, t, dim).alias("b"))
                 for t in range(n_tables)
             ])
         ).alias("_tb"),
@@ -235,6 +249,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_block_size: int = 500,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the LSH cohort join:
     [id_a, id_b, score] with score >= threshold, id_a < id_b."""
@@ -244,11 +259,13 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("source_record_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
+    if dim is None:
+        dim = len(c.select("_cv").first()["_cv"])
     members = c.select(
         "source_record_id", "_cv",
         F.explode(
             F.array(*[
-                F.struct(F.lit(t).alias("t"), _hyperplane_sketch(F.col("_cv"), n_planes, t).alias("b"))
+                F.struct(F.lit(t).alias("t"), _hyperplane_sketch(F.col("_cv"), n_planes, t, dim).alias("b"))
                 for t in range(n_tables)
             ])
         ).alias("_tb"),

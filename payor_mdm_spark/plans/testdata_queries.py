@@ -1122,7 +1122,58 @@ def ann_brute_force_topk(spark, sf_dir):
     return brute_force_topk(e, queries, k=10)
 
 
-@query("ann_lsh_topk")  # hyperplane sketch is xxhash64-seeded — rows-only
+def _lsh_bucket_sql(n_planes: int, table: int, dim: int) -> str:
+    """DuckDB twin of _hyperplane_sketch: the SAME literal weight matrix
+    (hyperplane_weights is plain hashlib — no Spark) dotted against v."""
+    from payor_mdm_spark.operators.similarity_search import hyperplane_weights
+
+    terms = []
+    for p, row in enumerate(hyperplane_weights(dim, n_planes, table)):
+        ws = ", ".join(repr(x) for x in row)
+        terms.append(
+            f"(case when list_dot_product(v, [{ws}]) > 0 then {1 << p} else 0 end)"
+        )
+    return " + ".join(terms)
+
+
+_LSH_SIDES = "\n      union all ".join(
+    f"select vec_id, v, {t} as t, {_lsh_bucket_sql(8, t, 64)} as bucket from {{side}}"
+    for t in range(4)
+)
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    with c as (select vec_id, cast(embedding as double[]) as v from embeddings),
+    q as (select vec_id, cast(embedding as double[]) as v
+          from embeddings where vec_id < 5),
+    cb as (
+      {_LSH_SIDES.format(side='c')}
+    ),
+    qb as (
+      {_LSH_SIDES.format(side='q')}
+    ),
+    cohort as (
+      select distinct qb.vec_id as query_id, cb.vec_id
+      from cb join qb on cb.t = qb.t and cb.bucket = qb.bucket
+    ),
+    scored as (
+      select co.query_id, co.vec_id,
+        round(
+          list_dot_product(q.v, c.v)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+          6) as score
+      from cohort co
+      join q on q.vec_id = co.query_id
+      join c on c.vec_id = co.vec_id
+    )
+    select query_id, vec_id, score,
+           cast(row_number() over (partition by query_id
+                                   order by score desc, vec_id asc) as int) as rank
+    from scored
+    qualify rank <= 10
+    """,
+)
 def ann_lsh_topk(spark, sf_dir):
     from payor_mdm_spark.operators.similarity_search import lsh_topk
 
@@ -1130,7 +1181,7 @@ def ann_lsh_topk(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e, queries, k=10, n_tables=4)
+    return lsh_topk(e, queries, k=10, n_tables=4, dim=64)
 
 
 # ---------------------------------------------------------------------------
