@@ -140,3 +140,87 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum(F.length(F.col("payload"))).alias("total_bytes"),
         F.avg(F.length(F.col("payload"))).alias("avg_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real header sniffing (no codec library needed): PNG IHDR, JPEG SOFn
+# markers, GIF logical screen descriptor are fixed byte layouts, so the
+# decode-METADATA step is genuinely implemented — only pixel decode /
+# model featurization remain stubbed.
+# ---------------------------------------------------------------------------
+
+IMAGE_HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime_detected", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("header_ok", StringType()),  # ok | truncated | unknown
+    ]
+)
+
+
+def sniff_image_header(b: bytes | None) -> tuple[str | None, int | None, int | None, str]:
+    """Parse (mime, width, height, status) from raw image bytes.
+
+    Pure byte-layout parsing: PNG 8-byte magic + IHDR at offset 16; JPEG
+    segment walk to the first SOF0-SOF3 frame header; GIF87a/89a logical
+    screen descriptor. Anything else -> ('unknown')."""
+    b = b or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24:
+            return (
+                "image/png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+                "ok",
+            )
+        return "image/png", None, None, "truncated"
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                return (
+                    "image/jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    "ok",
+                )
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:
+                break
+            i += 2 + seglen
+        return "image/jpeg", None, None, "truncated"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            return (
+                "image/gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+                "ok",
+            )
+        return "image/gif", None, None, "truncated"
+    return None, None, None, "unknown"
+
+
+def sniff_image_headers(media: DataFrame) -> DataFrame:
+    """image rows -> parsed header metadata via mapInPandas. This is the
+    real (non-stubbed) half of the decode step: container metadata from
+    byte layout, Arrow-batched, payload never touches the driver."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(sniff_image_header)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_detected": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]).astype("Int32"),
+                    "height": parsed.map(lambda t: t[2]).astype("Int32"),
+                    "header_ok": parsed.map(lambda t: t[3]),
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image")
+    return imgs.mapInPandas(fn, IMAGE_HEADER_SCHEMA)

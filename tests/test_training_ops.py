@@ -283,3 +283,62 @@ class TestPackSequences:
         )
         # window partitioned by source: a hash exchange, never a global sort
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestImageHeaderSniff:
+    """Real (non-stubbed) container metadata parsing from byte layout."""
+
+    @staticmethod
+    def _png(w, h):
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+        )
+
+    @staticmethod
+    def _jpeg(w, h):
+        # SOI + APP0 stub + SOF0 with dims
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    @staticmethod
+    def _gif(w, h):
+        return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00\x00\x00"
+
+    def test_pure_python_parsers(self):
+        from payor_mdm_spark.operators.multimodal import sniff_image_header
+
+        assert sniff_image_header(self._png(640, 480)) == ("image/png", 640, 480, "ok")
+        assert sniff_image_header(self._jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080, "ok")
+        assert sniff_image_header(self._gif(32, 16)) == ("image/gif", 32, 16, "ok")
+        assert sniff_image_header(b"\x89PNG\r\n\x1a\n\x00") == ("image/png", None, None, "truncated")
+        assert sniff_image_header(b"plain text") == (None, None, None, "unknown")
+        assert sniff_image_header(None) == (None, None, None, "unknown")
+
+    def test_spark_sniff_operator(self, spark):
+        from payor_mdm_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            sniff_image_headers,
+        )
+
+        rows = [
+            ("m1", "image", "application/octet-stream", bytearray(self._png(100, 50)),
+             {"width": None, "height": None, "duration_ms": None, "sample_rate": None}),
+            ("m2", "image", "application/octet-stream", bytearray(self._jpeg(8, 4)),
+             {"width": None, "height": None, "duration_ms": None, "sample_rate": None}),
+            ("m3", "image", "application/octet-stream", bytearray(b"garbage"),
+             {"width": None, "height": None, "duration_ms": None, "sample_rate": None}),
+            ("m4", "audio", "audio/wav", bytearray(b"RIFF"),
+             {"width": None, "height": None, "duration_ms": 1000, "sample_rate": 16000}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_id: r for r in sniff_image_headers(media).collect()}
+        assert set(got) == {"m1", "m2", "m3"}  # audio filtered out
+        assert (got["m1"].mime_detected, got["m1"].width, got["m1"].height) == ("image/png", 100, 50)
+        assert (got["m2"].mime_detected, got["m2"].width, got["m2"].height) == ("image/jpeg", 8, 4)
+        assert got["m3"].header_ok == "unknown"
