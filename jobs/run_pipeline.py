@@ -35,7 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     from payor_mdm_spark.session import get_spark
     from payor_mdm_spark.sources.catalog import CheckpointStore
     from payor_mdm_spark.sources.steward import (
-        read_steward_decisions, seed_survivorship_config,
+        read_hierarchy_overrides,
+        read_steward_decisions,
+        seed_abbreviation_dict,
+        seed_survivorship_config,
     )
 
     spark = get_spark(app_name="payor-mdm-pipeline")
@@ -63,12 +66,17 @@ def main(argv: list[str] | None = None) -> int:
         mode="iceberg" if args.iceberg else "parquet",
         iceberg_namespace=args.output if args.iceberg else None,
     )
+    # config-as-data: idempotent seeds, then every steward overlay the
+    # store holds is applied on this run (decisions, hierarchy edits)
     seed_survivorship_config(spark, store)
+    seed_abbreviation_dict(spark, store)
     steward = read_steward_decisions(store)
+    hierarchy_overrides = read_hierarchy_overrides(store)
     result = run_pipeline(
         spark, turns, store,
         run_ts=args.run_ts, resume=args.resume,
         steward_decisions=steward, max_block_size=args.max_block_size,
+        hierarchy_overrides=hierarchy_overrides,
     )
     for m in result.metrics:
         print(f"{m['stage']:>18} rows={m['rows']:>10} {m['seconds']:8.2f}s"
