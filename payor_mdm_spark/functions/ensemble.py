@@ -258,11 +258,28 @@ def _present(col: Column) -> Column:
 
 
 def _has_abbrev_token(u: Column, abbrevs: dict[str, str] | None = None) -> Column:
-    """any(t in table for t in u.split()) — whitespace split, empties
-    dropped (harmless here: '' is never an abbreviation key)."""
+    """any(t in table for t in u.split()) — (?U) whitespace split so
+    internal unicode whitespace (NBSP etc.) tokenizes like Python's
+    str.split(); empties dropped (harmless: '' is never a key)."""
     table = ABBREVS if abbrevs is None else abbrevs
     return F.arrays_overlap(
-        F.split(u, r"\s+"), F.array(*[F.lit(t) for t in sorted(table)])
+        F.split(u, r"(?U)\s+"), F.array(*[F.lit(t) for t in sorted(table)])
+    )
+
+
+def _fastpath_clean(u: Column) -> Column:
+    """True when Python str.strip()/.split() and the native expressions
+    provably agree on ``u``: no residual leading/trailing whitespace after
+    F.trim (which strips only ASCII spaces — tabs/NBSP survive it while
+    Python's strip() removes them), no control chars (Python splits on
+    \\x1c-\\x1f, Java does not), and at least one non-whitespace char
+    (Python treats whitespace-only as empty -> router, not fast path).
+    Anything exotic routes to the UDF, which is the ground truth — the
+    guard only has to be SOUND, not complete."""
+    return (
+        ~u.rlike(r"(?U)^\s|\s$")
+        & ~u.rlike(r"[\x00-\x1f\x85]")
+        & u.rlike(r"(?U)\S")
     )
 
 
@@ -270,7 +287,7 @@ def _nonstop_addr_tokens(u: Column) -> Column:
     """bool({t.rstrip('.,') for t in u.split()} - ADDR_STOPS) as a column."""
     from payor_mdm_spark.config import ADDR_STOPS
 
-    toks = F.filter(F.split(u, r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(u, r"(?U)\s+"), lambda t: t != "")
     return F.exists(
         toks,
         lambda t: ~F.regexp_replace(t, r"[.,]+$", "").isin(*sorted(ADDR_STOPS)),
@@ -283,7 +300,7 @@ def name_fast_path(
     """(decidable, score, strategy) for the name field without the router."""
     ua, ub = _upper_trim(a), _upper_trim(b)
     both = _present(a) & _present(b)
-    identical = (ua == ub) & (ua != "")
+    identical = (ua == ub) & _fastpath_clean(ua)
     decidable = ~both | identical
     score = F.when(both & identical, F.lit(1.0))
     strategy = F.when(
@@ -302,11 +319,11 @@ def addr_fast_path(a: Column, b: Column) -> tuple[Column, Column, Column]:
     ua, ub = _upper_trim(a), _upper_trim(b)
     both = _present(a) & _present(b)
     has_num = F.substring(ua, 1, 10).rlike("[0-9]")
-    tok0 = F.element_at(F.filter(F.split(ua, r"\s+"), lambda t: t != ""), 1)
+    tok0 = F.element_at(F.filter(F.split(ua, r"(?U)\s+"), lambda t: t != ""), 1)
     tok0_digit = F.coalesce(
         F.regexp_replace(tok0, "-", "").rlike("^[0-9]+$"), F.lit(False)
     )
-    identical = (ua == ub) & (ua != "")
+    identical = (ua == ub) & _fastpath_clean(ua)
     decidable = ~both | (identical & (~has_num | tok0_digit))
     jac = F.when(_nonstop_addr_tokens(ua), F.lit(1.0)).otherwise(F.lit(0.0))
     score = F.when(

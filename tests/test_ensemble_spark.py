@@ -206,3 +206,39 @@ def test_split_fast_path_skips_udf_for_det3_shape(spark):
     )
     assert plan.count("ArrowEvalPython") == 1  # one branch pays Python
     assert "Union" in plan
+
+
+def test_split_equivalence_whitespace_torture(spark):
+    """Exotic whitespace (tabs, NBSP, controls, whitespace-only values)
+    must NOT diverge between the native fast path and the UDF — the
+    _fastpath_clean guard routes anything Python's strip()/split() would
+    treat differently to the UDF."""
+    ws_names = [
+        "\t", "  ", "\xa0", "A\t", "\tA", "A\xa0", "\xa0BCBS",
+        "BCBS\xa0OF TEXAS", "BCBS\x1cOF", "A  B", "A\x85B", "BCBS ",
+    ]
+    ws_addrs = [
+        "\t", "12\xa0MAIN ST", "\t123 OAK", "ABCDEFGHI1 X", "STE\xa0",
+        "9-9\x1cOAK", "  12 MAIN", "MAIN\tPLAZA",
+    ]
+    rows = []
+    for nm in ws_names:
+        for ad in ws_addrs:
+            rows.append((nm, nm, None, None, ad, ad, None, None, None, None))
+    # also non-identical exotic pairs (must go to UDF and agree trivially)
+    rows += [(a, b, None, None, None, None, None, None, None, None)
+             for a in ws_names[:4] for b in ws_names[4:8]]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    cols = ["score_name", "winning_name_strategy", "score_address",
+            "winning_addr_strategy", "composite"]
+    key = ["name_a", "name_b", "addr_a", "addr_b"]
+
+    def snap(frame):
+        return {
+            tuple((r[k] or "") for k in key): [r[c] for c in cols]
+            for r in frame.collect()
+        }
+
+    split = snap(apply_ensemble(df, split_fast_path=True))
+    mono = snap(apply_ensemble(df, split_fast_path=False))
+    assert split == mono
