@@ -25,6 +25,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate a synthetic world of N entities instead of --input")
     p.add_argument("--output", required=True, help="checkpoint root (or iceberg namespace)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--incremental", action="store_true",
+                   help="treat --input as a conversation-granularity delta "
+                        "against an existing checkpoint root (full turn set "
+                        "of every new/changed conversation)")
     p.add_argument("--iceberg", action="store_true")
     p.add_argument("--run-ts", default="2026-01-01 00:00:00")
     p.add_argument("--max-block-size", type=int, default=None)
@@ -72,12 +76,22 @@ def main(argv: list[str] | None = None) -> int:
     seed_abbreviation_dict(spark, store)
     steward = read_steward_decisions(store)
     hierarchy_overrides = read_hierarchy_overrides(store)
-    result = run_pipeline(
-        spark, turns, store,
-        run_ts=args.run_ts, resume=args.resume,
-        steward_decisions=steward, max_block_size=args.max_block_size,
-        hierarchy_overrides=hierarchy_overrides,
-    )
+    if args.incremental:
+        from payor_mdm_spark.plans.pipeline import run_incremental
+
+        result = run_incremental(
+            spark, turns, store,
+            run_ts=args.run_ts,
+            steward_decisions=steward, max_block_size=args.max_block_size,
+            hierarchy_overrides=hierarchy_overrides,
+        )
+    else:
+        result = run_pipeline(
+            spark, turns, store,
+            run_ts=args.run_ts, resume=args.resume,
+            steward_decisions=steward, max_block_size=args.max_block_size,
+            hierarchy_overrides=hierarchy_overrides,
+        )
     for m in result.metrics:
         print(f"{m['stage']:>18} rows={m['rows']:>10} {m['seconds']:8.2f}s"
               f"{'  (resumed)' if m['skipped'] else ''}")

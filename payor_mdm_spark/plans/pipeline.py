@@ -197,3 +197,110 @@ def audit_log(
         .alias("change_type"),
         F.lit(run_ts).cast("timestamp").alias("changed_at"),
     )
+
+
+def run_incremental(
+    spark: SparkSession,
+    delta_turns: DataFrame,
+    store: CheckpointStore,
+    run_ts: str = "2026-01-01 00:00:00",
+    steward_decisions: DataFrame | None = None,
+    hierarchy_overrides: DataFrame | None = None,
+    survivorship_rules: dict[str, str] | None = None,
+    max_block_size: int | None = None,
+    shuffle_partitions: int | None = None,
+    collect_metrics: bool = True,
+) -> RunResult:
+    """Process a conversation-granularity delta against an existing run.
+
+    Contract: ``delta_turns`` carries the FULL turn set of every new or
+    changed conversation (CDC upsert at conv_id granularity). The pipeline
+    then does the minimum scale-relevant work:
+
+    * re-rollup + re-stage ONLY the delta conversations (at the 10^12-turn
+      design point staging dominates read I/O — unchanged conversations
+      are never re-read);
+    * blocking re-runs fully (native column math over the staged table —
+      necessary, because a delta record can join or split blocks of
+      UNCHANGED records, e.g. sorted-neighborhood adjacency);
+    * pairwise scoring — the expensive Python-kernel stage — re-scores
+      ONLY pairs that involve a changed record or are newly proposed;
+      still-proposed pairs between unchanged records reuse their committed
+      scores verbatim (scores are deterministic functions of the two
+      records), with matched_block_keys refreshed from the new pair table;
+    * the cheap downstream aggregates (candidates, CC, survivorship,
+      golden, xref, hierarchy) rebuild via the normal resume path.
+
+    Output tables are bit-identical to a full rebuild on the upserted
+    corpus — pinned by tests/test_incremental.py.
+    """
+    from payor_mdm_spark.config import MAX_BLOCK_SIZE
+
+    for required in ("staged", "scored_pairs"):
+        if not store.exists(required):
+            raise ValueError(
+                f"incremental run needs a committed '{required}' stage; "
+                "run run_pipeline() first"
+            )
+    max_block = max_block_size or MAX_BLOCK_SIZE
+
+    old_staged = store.read("staged")
+    # staged carries the conversation id as source_id (operators/staging.py)
+    changed_convs = delta_turns.select(F.col("conv_id").alias("source_id")).distinct()
+    staged_delta = stage_records(spark, rollup_conversations(delta_turns))
+    staged = old_staged.join(changed_convs, "source_id", "left_anti").unionByName(
+        staged_delta.select(*old_staged.columns)
+    )
+    # records whose content changed (old version of changed convs + new
+    # versions): any pair touching one of these must be re-scored.
+    # MATERIALIZE before the staged overwrite below — the lineage reads the
+    # OLD staged files, which the atomic swap deletes.
+    changed_ids = (
+        old_staged.join(changed_convs, "source_id", "semi")
+        .select("source_record_id")
+        .unionByName(staged_delta.select("source_record_id"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+
+    store.write("staged", staged)
+    staged = store.read("staged").cache()
+
+    pairs = candidate_pairs(staged, max_block_size=max_block)
+    store.write("blocking_pairs", pairs)
+    pairs = store.read("blocking_pairs")
+
+    keys = ["source_record_id_a", "source_record_id_b"]
+    old_scored = store.read("scored_pairs")
+    reusable = (
+        old_scored.drop("matched_block_keys")
+        .join(pairs, keys)  # inner: drops no-longer-proposed pairs, refreshes keys
+        .join(
+            changed_ids.withColumnRenamed("source_record_id", keys[0]),
+            keys[0], "left_anti",
+        )
+        .join(
+            changed_ids.withColumnRenamed("source_record_id", keys[1]),
+            keys[1], "left_anti",
+        )
+    )
+    to_score = pairs.join(reusable.select(*keys), keys, "left_anti")
+    fresh = score_pairs(to_score, staged, shuffle_partitions=shuffle_partitions)
+    scored = reusable.select(*fresh.columns).unionByName(fresh)
+    store.write("scored_pairs", scored)
+
+    # downstream aggregates rebuild through the normal resume machinery
+    for stg in (
+        "match_candidates", "match_groups", "survived", "golden", "xref",
+        "hierarchy",
+    ):
+        store.drop(stg)
+    return run_pipeline(
+        spark, delta_turns, store,
+        run_ts=run_ts, resume=True,
+        steward_decisions=steward_decisions,
+        hierarchy_overrides=hierarchy_overrides,
+        survivorship_rules=survivorship_rules,
+        max_block_size=max_block,
+        shuffle_partitions=shuffle_partitions,
+        collect_metrics=collect_metrics,
+    )

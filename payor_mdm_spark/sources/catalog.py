@@ -84,6 +84,10 @@ class CheckpointStore:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        # the swap happens behind Spark's back — drop any cached file
+        # listing for the destination path, or a later read in this session
+        # resolves to the replaced files (FAILED_READ_FILE.FILE_NOT_EXIST)
+        self.spark.catalog.refreshByPath(final)
 
     def read(self, name: str) -> DataFrame:
         if self.mode == "iceberg":
