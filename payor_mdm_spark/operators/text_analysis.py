@@ -183,3 +183,91 @@ def pack_sequences(
         F.floor(cum_before / budget_tokens).alias("bin_id"),
         (cum_before % budget_tokens).alias("bin_offset"),
     )
+
+
+def split_assignment_col(
+    id_col: Column,
+    val_pct: float = 1.0,
+    test_pct: float = 1.0,
+    salt: str = "split-v1",
+) -> Column:
+    """Deterministic train/val/test assignment by content hash.
+
+    md5_60bit(salt || id) % 10000 buckets the id uniformly; the first
+    ``test_pct`` percent is test, the next ``val_pct`` percent val, the
+    rest train. Deterministic across runs/cluster sizes (no RNG to ship)
+    and reproducible in ANSI SQL — unlike sample(), rows never migrate
+    between splits when the corpus grows, only new rows get assigned.
+    """
+    from payor_mdm_spark.functions.textnorm import md5_60bit
+
+    bucket = F.pmod(md5_60bit(F.concat(F.lit(salt), id_col.cast("string"))), 10000)
+    test_hi = int(test_pct * 100)
+    val_hi = test_hi + int(val_pct * 100)
+    return (
+        F.when(bucket < test_hi, "test")
+        .when(bucket < val_hi, "val")
+        .otherwise("train")
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixing selection: per-source token quotas filled best-first.
+
+    ``weights`` maps source -> target mixture share; each source gets
+    quota = share * total_budget_tokens and is filled in descending
+    quality_score order (id ascending tie-break) until the quota is
+    reached — the greedy mixture construction used for pretraining-data
+    recipes. One window per source (bounded partitions, no global sort).
+    Output: [id_col, source_col, token_count, quality_score, cum_tokens,
+    selected].
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    quota = F.create_map(
+        *[x for s, w in sorted(weights.items())
+          for x in (F.lit(s), F.lit(float(w * total_budget_tokens)))]
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("quality_score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = docs.select(
+        id_col, source_col,
+        token_count_col(t).alias("token_count"),
+        quality_score_col(t).alias("quality_score"),
+    )
+    cum = F.sum("token_count").over(w).cast("long")
+    return scored.select(
+        id_col, source_col, "token_count", "quality_score",
+        cum.alias("cum_tokens"),
+        (cum <= F.coalesce(quota[F.col(source_col)], F.lit(0.0))).alias("selected"),
+    )
+
+
+_PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: longest / most specific first
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"(\+?1[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARDNUM>"),
+]
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Rule-based PII redaction (emails, SSNs, phone numbers, long digit
+    runs) as chained native regexp_replace — the standard pre-training
+    scrub pass, fully JVM-side and ANSI-SQL reproducible."""
+    out = text
+    for pattern, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

@@ -1325,6 +1325,115 @@ def text_quality_score(spark, sf_dir):
 
 
 @query(
+    "train_val_test_split",
+    """
+    select doc_id,
+      case
+        when ('0x' || substr(md5('split-v1' || doc_id::varchar), 1, 15))::BIGINT % 10000 < 100
+          then 'test'
+        when ('0x' || substr(md5('split-v1' || doc_id::varchar), 1, 15))::BIGINT % 10000 < 200
+          then 'val'
+        else 'train'
+      end as split
+    from documents
+    """,
+)
+def train_val_test_split(spark, sf_dir):
+    """Deterministic content-hash split assignment — rows never migrate
+    between splits as the corpus grows (operators/text_analysis
+    split_assignment_col)."""
+    from payor_mdm_spark.operators.text_analysis import split_assignment_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", split_assignment_col(F.col("doc_id")).alias("split")
+    )
+
+
+@query(
+    "mixture_plan",
+    r"""
+    with f as (
+      select doc_id, source,
+        len(list_filter(string_split(lower(text), ' '), x -> x <> '')) as token_count,
+        cast(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) as double) as n_tok,
+        cast(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) as double)
+          / greatest(length(text), 1) as punct_ratio,
+        cast(len(list_filter(string_split(lower(text), ' '),
+             x -> x in ('the','and','of','to','is','in','that','with'))) as double)
+          / greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1) as stop_ratio,
+        cast(length(replace(text, ' ', '')) as double)
+          / greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1) as mwl
+      from documents
+    ), q as (
+      select doc_id, source, token_count,
+        round(
+          (least(n_tok / 20.0, 1.0) * least(2000.0 / greatest(n_tok, 1.0), 1.0)) * 0.3
+          + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+          + least(stop_ratio * 5.0, 1.0) * 0.3
+          + (case when mwl >= 2.5 and mwl <= 10.0 then 1.0 else 0.3 end) * 0.2,
+        4) as quality_score
+      from f
+    ), c as (
+      select doc_id, source, token_count, quality_score,
+        sum(token_count) over (partition by source
+                               order by quality_score desc, doc_id asc
+                               rows between unbounded preceding and current row)
+          as cum_tokens
+      from q
+    )
+    select doc_id, source, token_count, quality_score, cum_tokens,
+      cum_tokens <= (case source when 'src0' then 1000.0
+                                 when 'src1' then 600.0
+                                 when 'src2' then 400.0 else 0.0 end) as selected
+    from c
+    """,
+)
+def mixture_plan_q(spark, sf_dir):
+    """Greedy domain-mixing quota fill (operators/text_analysis
+    mixture_plan): 2000-token budget split 50/30/20 over three sources."""
+    from payor_mdm_spark.operators.text_analysis import mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        d, weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total_budget_tokens=2000,
+    )
+
+
+@query(
+    "pii_redaction",
+    r"""
+    select doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              'reach bob.smith+x@example.co.uk or (415) 555-1234; ssn 123-45-6789; card 4111 1111 1111 1111 :: ' || text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '(\+?1[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g'),
+        '\b(?:\d[ -]?){13,16}\b', '<CARDNUM>', 'g') as redacted
+    from documents
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """Rule-based PII scrub (operators/text_analysis.redact_pii_col) over
+    documents prefixed with synthetic PII so every rule actually fires."""
+    from payor_mdm_spark.operators.text_analysis import redact_pii_col
+
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.lit(
+            "reach bob.smith+x@example.co.uk or (415) 555-1234; "
+            "ssn 123-45-6789; card 4111 1111 1111 1111 :: "
+        ),
+        F.col("text"),
+    )
+    return d.select("doc_id", redact_pii_col(pii).alias("redacted"))
+
+
+@query(
     "text_fingerprint",
     """
     with toks as (

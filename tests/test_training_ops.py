@@ -342,3 +342,62 @@ class TestImageHeaderSniff:
         assert (got["m1"].mime_detected, got["m1"].width, got["m1"].height) == ("image/png", 100, 50)
         assert (got["m2"].mime_detected, got["m2"].width, got["m2"].height) == ("image/jpeg", 8, 4)
         assert got["m3"].header_ok == "unknown"
+
+
+class TestSplitMixRedact:
+    def test_split_stable_under_corpus_growth(self, spark):
+        from payor_mdm_spark.operators.text_analysis import split_assignment_col
+
+        small = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        big = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+        s1 = {r.doc_id: r.s for r in small.select(
+            "doc_id", split_assignment_col(F.col("doc_id")).alias("s")).collect()}
+        s2 = {r.doc_id: r.s for r in big.select(
+            "doc_id", split_assignment_col(F.col("doc_id")).alias("s")).collect()}
+        assert all(s2[k] == v for k, v in s1.items())  # no migration
+        from collections import Counter
+        c = Counter(s2.values())
+        assert 0.005 <= c["test"] / 2000 <= 0.02   # ~1%
+        assert 0.005 <= c["val"] / 2000 <= 0.02
+        assert c["train"] / 2000 > 0.95
+
+    def test_mixture_quota_fill(self, spark):
+        from payor_mdm_spark.operators.text_analysis import mixture_plan
+
+        rows = []
+        for i in range(10):
+            rows.append((i, "a", "one two three four five six seven eight nine ten"))
+        for i in range(10, 16):
+            rows.append((i, "b", "alpha beta gamma delta"))
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        plan = mixture_plan(docs, {"a": 0.5, "b": 0.5}, total_budget_tokens=40)
+        got = {r.doc_id: r for r in plan.collect()}
+        # source a: 10-token docs, quota 20 -> exactly 2 selected
+        assert sum(1 for i in range(10) if got[i].selected) == 2
+        # source b: 4-token docs, quota 20 -> 5 selected (20 tokens exactly)
+        assert sum(1 for i in range(10, 16) if got[i].selected) == 5
+        # selection is best-quality-first with id tie-break (all equal here)
+        assert got[0].selected and got[1].selected and not got[2].selected
+
+    def test_mixture_unknown_source_gets_zero_quota(self, spark):
+        from payor_mdm_spark.operators.text_analysis import mixture_plan
+
+        docs = spark.createDataFrame(
+            [(1, "mystery", "some words here")], "doc_id long, source string, text string"
+        )
+        got = mixture_plan(docs, {"a": 1.0}, 1000).collect()[0]
+        assert got.selected is False
+
+    def test_redaction_patterns(self, spark):
+        from payor_mdm_spark.operators.text_analysis import redact_pii_col
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b@c.io, ssn 123-45-6789, tel (212) 555-0101, "
+                 "card 4111-1111-1111-1111, clean text stays")],
+            "id long, text string",
+        )
+        out = df.select(redact_pii_col(F.col("text")).alias("t")).collect()[0].t
+        assert "<EMAIL>" in out and "<SSN>" in out and "<PHONE>" in out
+        assert "<CARDNUM>" in out
+        assert "clean text stays" in out
+        assert "a.b@c.io" not in out and "123-45-6789" not in out
