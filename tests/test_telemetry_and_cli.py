@@ -69,6 +69,8 @@ def test_package_zip(tmp_path):
     names = zipfile.ZipFile(path).namelist()
     assert "payor_mdm_spark/__init__.py" in names
     assert any(n.startswith("payor_mdm_spark/operators/") for n in names)
+    # the C kernel source must ship: executors compile it at first use
+    assert "payor_mdm_spark/native/jwkernels.c" in names
 
 
 class TestServing:

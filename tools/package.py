@@ -18,7 +18,10 @@ def build(out_dir: str = "dist") -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in sorted(filenames):
-                if not fn.endswith(".py"):
+                # ship the C kernel source too: executors compile it at
+                # first use; without it they fall back to the bit-identical
+                # but ~10x slower pure-Python kernels
+                if not fn.endswith((".py", ".c")):
                     continue
                 full = os.path.join(dirpath, fn)
                 zf.write(full, os.path.relpath(full, ROOT))
