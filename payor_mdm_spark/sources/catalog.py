@@ -89,6 +89,20 @@ class CheckpointStore:
         # resolves to the replaced files (FAILED_READ_FILE.FILE_NOT_EXIST)
         self.spark.catalog.refreshByPath(final)
 
+    def append(self, name: str, df: DataFrame) -> None:
+        """Append-only landing write (streaming micro-batches): Iceberg
+        ``append()`` snapshot, parquet append-mode files. O(batch), never
+        a rewrite of the table."""
+        if self.mode == "iceberg":
+            if not self.exists(name):
+                df.writeTo(self._table(name)).createOrReplace()
+            else:
+                df.writeTo(self._table(name)).append()
+            return
+        final = self._path(name)
+        df.write.mode("append").parquet(final)
+        self.spark.catalog.refreshByPath(final)
+
     def read(self, name: str) -> DataFrame:
         if self.mode == "iceberg":
             return self.spark.read.table(self._table(name))

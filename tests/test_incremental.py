@@ -97,3 +97,52 @@ def test_incremental_requires_prior_run(spark, worlds, tmp_path):
     store = CheckpointStore(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="incremental run needs"):
         run_incremental(spark, worlds["delta"], store)
+
+
+def test_streaming_bridge_matches_full_rebuild(spark, worlds, tmp_path):
+    """Two micro-batches through the streaming bridge (one conversation
+    split ACROSS batches) must land on the same golden table as a batch
+    rebuild over all turns."""
+    import os
+
+    from payor_mdm_spark.streaming.er_bridge import incremental_er_stream
+    from payor_mdm_spark.streaming.ingest import read_turn_stream
+
+    base, delta = worlds["base"], worlds["delta"]
+    # batch 1: base minus the second half of one conversation's turns;
+    # batch 2: the rest of that conversation + the delta conversations
+    split_conv = base.select("conv_id").distinct().orderBy("conv_id").first().conv_id
+    b1 = base.filter(
+        (F.col("conv_id") != split_conv)
+        | (F.col("turn_idx") < 2)
+    )
+    b2 = base.filter(
+        (F.col("conv_id") == split_conv) & (F.col("turn_idx") >= 2)
+    ).unionByName(delta.filter(F.col("conv_id") != split_conv))
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    store = CheckpointStore(spark, str(tmp_path / "bridge_ckpt"))
+    stream_ckpt = str(tmp_path / "stream_ckpt")
+
+    def run_once():
+        q = incremental_er_stream(
+            spark, read_turn_stream(spark, src), store, stream_ckpt,
+            collect_metrics=False,
+        ).start()
+        q.awaitTermination(300)
+
+    b1.write.mode("append").parquet(src)
+    run_once()
+    assert store.exists("golden")
+    b2.write.mode("append").parquet(src)
+    run_once()
+
+    # ground truth: full rebuild on everything the stream saw
+    full_store = CheckpointStore(spark, str(tmp_path / "bridge_full"))
+    seen = b1.unionByName(b2)
+    full = run_pipeline(spark, seen, full_store, collect_metrics=False)
+
+    got = _snapshot(store.read("golden"), None)
+    want = _snapshot(full.tables["golden"], None)
+    assert got == want
