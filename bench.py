@@ -114,6 +114,28 @@ def main() -> None:
         "pairs_scored_per_sec": er["pairs_scored_per_sec"],
         "er_stage_sec": er["er_stage_sec"],
     }
+    # fold in the separately-measured evidence (tools/bench_scaling.py and
+    # tools/eval_f1.py persist their latest results under BENCH/) so the
+    # headline JSON is self-contained
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    scaling_path = os.path.join(here, "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["kernel_pairs_per_sec_local8"] = sc.get("score_local8_pps")
+        out["kernel_pairs_per_sec_local32"] = sc.get("score_local32_pps")
+        out["scaling_efficiency_n_to_4n"] = sc.get("scaling_efficiency_2_to_8")
+    f1_path = os.path.join(here, "BENCH", "f1_sweep.json")
+    if os.path.exists(f1_path):
+        with open(f1_path) as f:
+            sweep = json.load(f)
+        if sweep:
+            out["pairwise_f1_min"] = min(r["f1"] for r in sweep)
+            out["pairwise_f1_sweep"] = {
+                f"n{r['n']}_s{r['seed']}": r["f1"] for r in sweep
+            }
     print(json.dumps(out), flush=True)
     spark.stop()
 

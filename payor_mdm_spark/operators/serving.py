@@ -113,3 +113,27 @@ def golden_browse(
         .offset(offset)
         .limit(limit)
     )
+
+
+def golden_detail(
+    golden: DataFrame,
+    xref: DataFrame,
+    staged: DataFrame,
+    hierarchy: DataFrame,
+    master_entity_id: str,
+) -> dict[str, DataFrame]:
+    """The browse page's expand queries (GoldenRecords.tsx:67-71): the
+    golden row, its contributing source records (XREF x staged), and every
+    hierarchy edge touching it. Point lookups — each plan is a pushed-down
+    equality filter plus one broadcastable join."""
+    mid = F.lit(master_entity_id)
+    return {
+        "golden": golden.filter(F.col("master_entity_id") == mid),
+        "sources": (
+            xref.filter(F.col("master_entity_id") == mid)
+            .join(staged, "source_record_id")
+        ),
+        "hierarchy": hierarchy.filter(
+            (F.col("parent_master_id") == mid) | (F.col("child_master_id") == mid)
+        ),
+    }

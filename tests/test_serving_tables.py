@@ -291,3 +291,44 @@ class TestAbbreviationDictAsData:
         assert got.winning_name_strategy == "NAME_ABR"
         got_default = apply_ensemble(pair).collect()[0]
         assert got_default.winning_name_strategy == "NAME_JW"
+
+
+class TestGoldenBrowseDetail:
+    def test_golden_browse_pagination_and_search(self, spark, pipeline_run):
+        from payor_mdm_spark.operators.serving import golden_browse
+
+        t = pipeline_run["res"].tables
+        page1 = golden_browse(t["golden"], t["xref"], limit=5, offset=0).collect()
+        page2 = golden_browse(t["golden"], t["xref"], limit=5, offset=5).collect()
+        assert len(page1) == 5 and len(page2) == 5
+        assert {r.master_entity_id for r in page1}.isdisjoint(
+            {r.master_entity_id for r in page2}
+        )
+        names = [r.name_raw for r in page1 + page2]
+        assert names == sorted(names)  # global order across pages
+        assert all(r.source_count >= 1 for r in page1)
+        # search narrows
+        probe = page1[0].name_raw.split()[0]
+        hits = golden_browse(t["golden"], t["xref"], search=probe.lower()).collect()
+        assert hits and all(probe.upper() in r.name_raw.upper() for r in hits)
+
+    def test_golden_detail_point_lookup(self, spark, pipeline_run):
+        from payor_mdm_spark.operators.serving import golden_detail
+
+        t = pipeline_run["res"].tables
+        # pick a golden id that has a hierarchy edge
+        edge = t["hierarchy"].first()
+        detail = golden_detail(
+            t["golden"], t["xref"], t["staged"], t["hierarchy"],
+            edge.parent_master_id,
+        )
+        assert detail["golden"].count() == 1
+        srcs = detail["sources"].collect()
+        assert len(srcs) >= 1
+        assert all("name_norm" in r.asDict() for r in srcs)  # staged fields joined
+        h = detail["hierarchy"].collect()
+        assert any(
+            r.parent_master_id == edge.parent_master_id
+            or r.child_master_id == edge.parent_master_id
+            for r in h
+        )

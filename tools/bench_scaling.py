@@ -178,6 +178,9 @@ def main() -> None:
         "pipeline_scaling_efficiency": round(pipe_eff, 3),
     }
     print(json.dumps(summary))
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/scaling.json", "w") as f:
+        json.dump(summary, f, indent=1)
 
     stage_rows = "\n".join(
         f"| {st} | {p8['stages'][st]} | {p32['stages'][st]} |"
@@ -246,6 +249,23 @@ costs: at the 100 TB design point the data-parallel terms dominate by 3-4
 orders of magnitude. The per-stage table confirms no stage grows with core
 count (no shuffle-amplification pathologies).
 """)
+        f1_path = "/root/repo/BENCH/f1_sweep.json"
+        if os.path.exists(f1_path):
+            with open(f1_path) as fj:
+                sweep = json.load(fj)
+            f.write(
+                "\n## 3. Pairwise F1 vs labeled truth "
+                "(BASELINE.md target: >= 0.99)\n\n"
+                "tools/eval_f1.py runs the full pipeline on generated worlds "
+                "with known entity labels and scores pairwise links:\n\n"
+                "| entities | seed | precision | recall | F1 |\n"
+                "| --- | --- | --- | --- | --- |\n"
+            )
+            for r in sweep:
+                f.write(
+                    f"| {r['n']:,} | {r['seed']} | {r['precision']:.4f} "
+                    f"| {r['recall']:.4f} | {r['f1']:.4f} |\n"
+                )
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
 
 

@@ -59,8 +59,30 @@ def evaluate(n_entities=65, master="local[8]", seed=42, shuffle_partitions=16,
             "metrics": res.metrics}
 
 
+def record_sweep(n: int, seed: int, result: dict,
+                 path: str = "BENCH/f1_sweep.json") -> None:
+    """Persist one sweep point; tools/bench_scaling.py renders these into
+    BENCH/BASELINE.md's F1 section so the sweep survives re-benchmarks."""
+    import json
+    import os
+
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = json.load(f)
+    rows = [r for r in rows if not (r["n"] == n and r["seed"] == seed)]
+    rows.append({"n": n, "seed": seed,
+                 "f1": round(result["f1"], 4),
+                 "precision": round(result["precision"], 4),
+                 "recall": round(result["recall"], 4)})
+    rows.sort(key=lambda r: (r["n"], r["seed"]))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65
     m = sys.argv[2] if len(sys.argv) > 2 else "local[8]"
     s = int(sys.argv[3]) if len(sys.argv) > 3 else 42
-    evaluate(n, m, s)
+    record_sweep(n, s, evaluate(n, m, s))
