@@ -117,8 +117,6 @@ def main() -> None:
     # fold in the separately-measured evidence (tools/bench_scaling.py and
     # tools/eval_f1.py persist their latest results under BENCH/) so the
     # headline JSON is self-contained
-    import os
-
     here = os.path.dirname(os.path.abspath(__file__))
     scaling_path = os.path.join(here, "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
