@@ -115,12 +115,16 @@ def sample_video_frames(
             if strict:
                 raise NotImplementedError("video decoding not available here")
             out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_hash": []}
-            for _, row in pdf.iterrows():
-                dur = (row["meta"] or {}).get("duration_ms") or 0
-                payload = row["payload"] or b""
+            # column-wise batch fold (no iterrows); the inner loop is per
+            # sampled FRAME, which is the output cardinality
+            for media_id, meta, payload in zip(
+                pdf["media_id"].tolist(), pdf["meta"].tolist(), pdf["payload"].tolist()
+            ):
+                dur = (meta or {}).get("duration_ms") or 0
+                payload = payload or b""
                 n = max(1, int(dur // every_ms))
                 for i in range(n):
-                    out["media_id"].append(row["media_id"])
+                    out["media_id"].append(media_id)
                     out["frame_idx"].append(i)
                     out["frame_ms"].append(i * every_ms)
                     h = hashlib.sha256(payload + i.to_bytes(4, "little")).digest()[:8]
