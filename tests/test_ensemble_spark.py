@@ -242,3 +242,48 @@ def test_split_equivalence_whitespace_torture(spark):
     split = snap(apply_ensemble(df, split_fast_path=True))
     mono = snap(apply_ensemble(df, split_fast_path=False))
     assert split == mono
+
+
+def test_split_equivalence_seeded_fuzz(spark):
+    """500 seeded random pairs over an exotic alphabet (unicode whitespace,
+    controls, CJK punctuation, digit/stopword fragments): the split and
+    mono plans must agree on every score and strategy."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = list("ABCZ019 -.") + ["\t", "\xa0", "\x1c", "\x85", "Ü", "，", "  "]
+    words = ["BCBS", "ACME", "ST", "STE", "12", "9-9", "MAIN", "", " "]
+
+    def rand_str():
+        kind = rng.random()
+        if kind < 0.15:
+            return None
+        if kind < 0.25:
+            return ""
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(words))
+            else:
+                parts.append("".join(rng.choice(alpha) for _ in range(rng.randint(1, 8))))
+        return rng.choice(["", " ", "\t", "\xa0"]).join(parts)
+
+    rows = []
+    for i in range(500):
+        a = rand_str()
+        b = a if rng.random() < 0.5 else rand_str()
+        ta = rng.choice([None, "", "12-3456789", "123456789", "12345678", "ABC", "1 2 3"])
+        tb = rng.choice([None, "", "12-3456789", "123456798", "12345678", "ABC"])
+        aa = rand_str()
+        ab = aa if rng.random() < 0.6 else rand_str()
+        rows.append((i, a, b, ta, tb, aa, ab, None, None, None, None))
+
+    df = spark.createDataFrame(rows, "_i int, " + _SCHEMA)
+    cols = ["score_name", "winning_name_strategy", "score_address",
+            "winning_addr_strategy", "score_exact_key_1", "winning_tax_strategy",
+            "composite"]
+    split = {r._i: [r[c] for c in cols]
+             for r in apply_ensemble(df, split_fast_path=True).collect()}
+    mono = {r._i: [r[c] for c in cols]
+            for r in apply_ensemble(df, split_fast_path=False).collect()}
+    assert split == mono
