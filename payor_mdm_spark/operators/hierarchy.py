@@ -194,3 +194,54 @@ def apply_hierarchy_overrides(
         )
     )
     return confirmed.unionByName(manual)
+
+
+def tree_paths(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Resolve every node of a parent-forest to (node, root, depth).
+
+    ``edges``: [parent_master_id, child_master_id]; a child with several
+    parents (possible when both inference signals fire) is resolved to its
+    MIN parent first, making the input a forest. Traversal is pointer
+    jumping — each round replaces every node's known ancestor with that
+    ancestor's ancestor while accumulating depth, so a depth-d hierarchy
+    resolves in O(log d) rounds (the UI's tree build,
+    HierarchyManager.tsx buildTree, computed engine-side instead of
+    client-side).
+    """
+    parent_of = (
+        edges.groupBy(F.col("child_master_id").alias("node"))
+        .agg(F.min("parent_master_id").alias("anc"))
+    )
+    state = parent_of.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    prev_total = state.select(F.sum("depth")).first()[0] or 0
+    for _ in range(max_iterations):
+        up = state.select(
+            F.col("node").alias("_n2"), F.col("anc").alias("_a2"),
+            F.col("depth").alias("_d2"),
+        )
+        state = (
+            state.join(up, state.anc == up._n2, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_a2"), F.col("anc")).alias("anc"),
+                (F.col("depth") + F.coalesce(F.col("_d2"), F.lit(0))).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: every node already points at its root, so no depth grew
+        total = state.select(F.sum("depth")).first()[0] or 0
+        if total == prev_total:
+            break
+        prev_total = total
+
+    roots = (
+        edges.select(F.col("parent_master_id").alias("node"))
+        .join(edges.select(F.col("child_master_id").alias("node")), "node", "left_anti")
+        .distinct()
+        .select("node", F.col("node").alias("root"), F.lit(0).alias("depth"))
+    )
+    return roots.unionByName(
+        state.select("node", F.col("anc").alias("root"), "depth")
+    )

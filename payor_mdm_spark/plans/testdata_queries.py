@@ -788,6 +788,39 @@ def hierarchy_substring_join(spark, sf_dir):
     )
 
 
+@query(
+    "hierarchy_tree_paths",
+    """
+    with o as (
+      select o_custkey, o_orderkey,
+             count(*) over (partition by o_custkey) as n
+      from orders where o_custkey % 17 = 0
+    )
+    select o_orderkey as node,
+           min(o_orderkey) over (partition by o_custkey) as root,
+           cast(row_number() over (partition by o_custkey
+                                   order by o_orderkey) - 1 as int) as depth
+    from o where n >= 2
+    """,
+)
+def hierarchy_tree_paths(spark, sf_dir):
+    """Engine-side tree resolution (operators/hierarchy.tree_paths,
+    pointer jumping) on per-customer order chains; ground truth is the
+    window formulation."""
+    from payor_mdm_spark.operators.hierarchy import tree_paths
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 17 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        o.select(
+            F.lag("o_orderkey").over(w).alias("parent_master_id"),
+            F.col("o_orderkey").alias("child_master_id"),
+        )
+        .filter(F.col("parent_master_id").isNotNull())
+    )
+    return tree_paths(edges)
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (documents)
 # ---------------------------------------------------------------------------

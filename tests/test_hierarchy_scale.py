@@ -102,3 +102,36 @@ def test_no_nested_loop_in_plan(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tree_paths_deep_chain_beyond_linear_rounds(spark):
+    """A 200-deep chain must resolve in O(log d) pointer-jump rounds —
+    max_iterations=10 suffices for depth 200 (2^10 >> 200) while a
+    one-level-per-round walk would need 200."""
+    from payor_mdm_spark.operators.hierarchy import tree_paths
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(200)],
+        "parent_master_id string, child_master_id string",
+    )
+    got = {r.node: r for r in tree_paths(edges, max_iterations=10).collect()}
+    assert len(got) == 201
+    assert got["n000"].depth == 0 and got["n000"].root == "n000"
+    assert got["n200"].depth == 200 and got["n200"].root == "n000"
+    assert got["n100"].depth == 100
+
+
+def test_tree_paths_forest_and_multi_parent(spark):
+    from payor_mdm_spark.operators.hierarchy import tree_paths
+
+    edges = spark.createDataFrame(
+        [("r1", "a"), ("r1", "b"), ("a", "c"),
+         ("r2", "x"),
+         ("r1", "c")],  # c has two parents -> min parent (a) wins
+        "parent_master_id string, child_master_id string",
+    )
+    got = {r.node: (r.root, r.depth) for r in tree_paths(edges).collect()}
+    assert got["r1"] == ("r1", 0) and got["r2"] == ("r2", 0)
+    assert got["a"] == ("r1", 1) and got["b"] == ("r1", 1)
+    assert got["c"] == ("r1", 2)  # via min-parent a
+    assert got["x"] == ("r2", 1)
