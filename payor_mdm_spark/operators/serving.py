@@ -137,3 +137,58 @@ def golden_detail(
             (F.col("parent_master_id") == mid) | (F.col("child_master_id") == mid)
         ),
     }
+
+
+def explain_pair(scored: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """'Why did these match?' — one row per field with its score, weight,
+    winning strategy and weighted contribution to the composite (the
+    steward-review analog of the reference's ensemble_detail VARIANT,
+    int_match_scored.sql:81). Native unpivot over the scored pair row."""
+    from payor_mdm_spark.config import FIELD_WEIGHTS
+
+    fields = [
+        ("name", "score_name", "winning_name_strategy", FIELD_WEIGHTS["name"]),
+        ("exact_key_1", "score_exact_key_1", None, FIELD_WEIGHTS["exact_key_1"]),
+        ("address", "score_address", "winning_addr_strategy", FIELD_WEIGHTS["address"]),
+        ("phone", "score_phone", None, FIELD_WEIGHTS["phone"]),
+        ("exact_key_2", "score_exact_key_2", None, FIELD_WEIGHTS["exact_key_2"]),
+    ]
+    row = scored.filter(
+        (F.col("source_record_id_a") == id_a)
+        & (F.col("source_record_id_b") == id_b)
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("field"),
+                F.col(score_col).alias("score"),
+                (F.col(strat_col) if strat_col else F.lit(None).cast("string")).alias("strategy"),
+                F.lit(weight).alias("weight"),
+            )
+            for name, score_col, strat_col, weight in fields
+        ]
+    )
+    exploded = row.select(
+        "source_record_id_a", "source_record_id_b", "match_rule",
+        "overall_score", F.explode(structs).alias("_f"),
+    ).select(
+        "source_record_id_a", "source_record_id_b", "match_rule",
+        "overall_score",
+        F.col("_f.field").alias("field"),
+        F.col("_f.score").alias("score"),
+        F.col("_f.strategy").alias("strategy"),
+        F.col("_f.weight").alias("weight"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source_record_id_a", "source_record_id_b")
+    present_weight = F.sum(
+        F.when(F.col("score").isNotNull(), F.col("weight")).otherwise(0.0)
+    ).over(w)
+    return exploded.withColumn(
+        "contribution",
+        F.when(
+            F.col("score").isNotNull() & (present_weight > 0),
+            F.round(F.col("score") * F.col("weight") / present_weight, 4),
+        ),
+    )

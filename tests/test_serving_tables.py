@@ -332,3 +332,23 @@ class TestGoldenBrowseDetail:
             or r.child_master_id == edge.parent_master_id
             for r in h
         )
+
+
+class TestExplainPair:
+    def test_contributions_sum_to_composite(self, spark, pipeline_run):
+        from payor_mdm_spark.operators.serving import explain_pair
+
+        scored = pipeline_run["res"].tables["scored_pairs"]
+        fuzzy = scored.filter(
+            (F.col("match_rule") == "FUZZY") & F.col("score_name").isNotNull()
+        ).first()
+        rows = explain_pair(
+            scored, fuzzy.source_record_id_a, fuzzy.source_record_id_b
+        ).collect()
+        assert len(rows) == 5
+        present = [r for r in rows if r.score is not None]
+        total = sum(r.contribution for r in present)
+        # composite = sum of per-field contributions (4dp rounding slack)
+        assert abs(total - fuzzy.overall_score) < 5e-3
+        name_row = next(r for r in rows if r.field == "name")
+        assert name_row.strategy is not None
