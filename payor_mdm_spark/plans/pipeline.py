@@ -284,6 +284,13 @@ def run_incremental(
         )
     )
     to_score = pairs.join(reusable.select(*keys), keys, "left_anti")
+    rescored_n = None
+    if collect_metrics:
+        # incremental lineage: how much Python-kernel work the delta cost —
+        # counted BEFORE the scored swap (to_score's lineage reads the old
+        # committed scored table) and without touching the kernel (the
+        # count needs only pair keys)
+        rescored_n = to_score.count()
     fresh = score_pairs(to_score, staged, shuffle_partitions=shuffle_partitions)
     scored = reusable.select(*fresh.columns).unionByName(fresh)
     store.write("scored_pairs", scored)
@@ -294,7 +301,7 @@ def run_incremental(
         "hierarchy",
     ):
         store.drop(stg)
-    return run_pipeline(
+    result = run_pipeline(
         spark, delta_turns, store,
         run_ts=run_ts, resume=True,
         steward_decisions=steward_decisions,
@@ -304,3 +311,32 @@ def run_incremental(
         shuffle_partitions=shuffle_partitions,
         collect_metrics=collect_metrics,
     )
+    if collect_metrics and rescored_n is not None:
+        total_n = sum(n for _, n in store.commit_stats("scored_pairs"))
+        result.metrics.append(
+            {
+                "stage": "incremental_rescored_pairs",
+                "rows": rescored_n,
+                "seconds": 0.0,
+                "skipped": False,
+                "run_ts": run_ts,
+            }
+        )
+        result.metrics.append(
+            {
+                "stage": "incremental_reused_pairs",
+                "rows": total_n - rescored_n,
+                "seconds": 0.0,
+                "skipped": True,
+                "run_ts": run_ts,
+            }
+        )
+        metrics_df = spark.createDataFrame(
+            [
+                (m["stage"], m["rows"], m["seconds"], m["skipped"], m["run_ts"])
+                for m in result.metrics
+            ],
+            "stage string, rows long, seconds double, skipped boolean, run_ts string",
+        )
+        store.write("run_metrics", metrics_df)
+    return result

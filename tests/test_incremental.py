@@ -146,3 +146,20 @@ def test_streaming_bridge_matches_full_rebuild(spark, worlds, tmp_path):
     got = _snapshot(store.read("golden"), None)
     want = _snapshot(full.tables["golden"], None)
     assert got == want
+
+
+def test_incremental_metrics_report_reuse(spark, worlds, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "m"))
+    run_pipeline(spark, worlds["base"], store, collect_metrics=False)
+    inc = run_incremental(spark, worlds["delta"], store, collect_metrics=True)
+    by_stage = {m["stage"]: m for m in inc.metrics}
+    assert "incremental_rescored_pairs" in by_stage
+    assert "incremental_reused_pairs" in by_stage
+    rescored = by_stage["incremental_rescored_pairs"]["rows"]
+    reused = by_stage["incremental_reused_pairs"]["rows"]
+    total = inc.tables["scored_pairs"].count()
+    assert rescored + reused == total
+    assert reused > 0 and rescored > 0
+    # persisted run_metrics carries the same rows
+    persisted = {r.stage: r.rows for r in store.read("run_metrics").collect()}
+    assert persisted["incremental_rescored_pairs"] == rescored
