@@ -192,3 +192,30 @@ def explain_pair(scored: DataFrame, id_a: str, id_b: str) -> DataFrame:
             F.round(F.col("score") * F.col("weight") / present_weight, 4),
         ),
     )
+
+
+def borderline_automatch_queue(
+    candidates: DataFrame,
+    band: tuple[float, float] = (0.85, 0.88),
+    limit: int = 100,
+) -> DataFrame:
+    """Audit queue for JUST-above-threshold auto-matches.
+
+    The measured precision loss (BENCH/BASELINE.md §3) comes entirely from
+    FUZZY edges scoring barely above the 0.85 auto-match cut — edges the
+    standard review queue never surfaces because they auto-matched. This
+    queue lists them lowest-score-first so stewards can audit the exact
+    band where wrong merges live; a confirmed_no_match decision on one of
+    them splits the transitive cluster on the next run.
+    """
+    lo, hi = band
+    return (
+        candidates.filter(
+            (F.col("final_decision") == "match")
+            & (F.col("match_rule") == "FUZZY")
+            & (F.col("overall_score") >= lo)
+            & (F.col("overall_score") < hi)
+        )
+        .orderBy(F.col("overall_score").asc(), F.col("candidate_id"))
+        .limit(limit)
+    )

@@ -352,3 +352,34 @@ class TestExplainPair:
         assert abs(total - fuzzy.overall_score) < 5e-3
         name_row = next(r for r in rows if r.field == "name")
         assert name_row.strategy is not None
+
+
+class TestBorderlineQueue:
+    def test_band_and_override_splits_cluster(self, spark, world, tmp_path):
+        from payor_mdm_spark.operators.serving import borderline_automatch_queue
+        from payor_mdm_spark.plans.pipeline import run_pipeline
+        from payor_mdm_spark.sources.steward import (
+            read_steward_decisions, record_steward_decision,
+        )
+
+        turns = spark.read.parquet(world["turns_path"])
+        store = CheckpointStore(spark, str(tmp_path / "bq"))
+        res = run_pipeline(spark, turns, store, collect_metrics=False)
+        cand = res.tables["match_candidates"]
+        q = borderline_automatch_queue(cand, band=(0.60, 1.01)).collect()
+        assert all(r.final_decision == "match" and r.match_rule == "FUZZY" for r in q)
+        scores = [r.overall_score for r in q]
+        assert scores == sorted(scores)  # lowest (riskiest) first
+        if q:
+            # steward rejects the riskiest edge; re-run flips the decision
+            record_steward_decision(
+                spark, store, q[0].candidate_id, "confirmed_no_match", "alice"
+            )
+            res2 = run_pipeline(
+                spark, turns, store, collect_metrics=False, resume=False,
+                steward_decisions=read_steward_decisions(store),
+            )
+            flipped = res2.tables["match_candidates"].filter(
+                F.col("candidate_id") == q[0].candidate_id
+            ).collect()[0]
+            assert flipped.final_decision == "no_match"
