@@ -163,3 +163,21 @@ def test_incremental_metrics_report_reuse(spark, worlds, tmp_path):
     # persisted run_metrics carries the same rows
     persisted = {r.stage: r.rows for r in store.read("run_metrics").collect()}
     assert persisted["incremental_rescored_pairs"] == rescored
+
+
+def test_bridge_batch_replay_is_idempotent(spark, worlds, tmp_path):
+    """foreachBatch is at-least-once: processing the SAME micro-batch twice
+    (crash-before-commit replay) must leave every table identical."""
+    from payor_mdm_spark.streaming.er_bridge import process_turn_batch
+
+    store = CheckpointStore(spark, str(tmp_path / "replay"))
+    b1 = worlds["base"]
+    b2 = worlds["delta"]
+    process_turn_batch(spark, store, b1, collect_metrics=False)
+    process_turn_batch(spark, store, b2, collect_metrics=False)
+    golden_once = _snapshot(store.read("golden"), None)
+    scored_once = _snapshot(store.read("scored_pairs"), None)
+    # replay the second batch (duplicate landing rows + re-run)
+    process_turn_batch(spark, store, b2, collect_metrics=False)
+    assert _snapshot(store.read("golden"), None) == golden_once
+    assert _snapshot(store.read("scored_pairs"), None) == scored_once
