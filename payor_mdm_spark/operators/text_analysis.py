@@ -271,3 +271,53 @@ def redact_pii_col(text: Column) -> Column:
     for pattern, token in _PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def repetition_signals(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition quality signals (the Gopher/RefinedWeb
+    repetition rules): duplicate word-n-gram ratio (1 - distinct/total)
+    and the share of the document's tokens covered by its single most
+    frequent n-gram. High values flag boilerplate/spam for filtering.
+
+    One explode + two-level aggregation, all codegen: per-(doc, gram)
+    counts partial-combine map-side, then one row per doc comes back.
+    """
+    from payor_mdm_spark.operators.dedup import _word_ngrams
+
+    grams = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("_c").alias("_top"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+            F.round(
+                F.when(
+                    F.col("total_ngrams") > 0,
+                    1.0 - F.col("distinct_ngrams") / F.col("total_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_ngram_ratio"),
+            F.round(
+                F.when(
+                    F.col("total_ngrams") > 0,
+                    F.col("_top") / F.col("total_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("top_ngram_share"),
+        )
+    )

@@ -1358,6 +1358,47 @@ def text_quality_score(spark, sf_dir):
 
 
 @query(
+    "repetition_signals",
+    """
+    with toks as (
+      select doc_id, regexp_split_to_array(lower(text), '\\s+') as t
+      from documents
+    ), grams as (
+      select doc_id, unnest(g) as g from (
+        select doc_id,
+          case when len(t) >= 3
+            then list_transform(range(0, len(t) - 2),
+                                i -> array_to_string(t[(i+1):(i+3)], ' '))
+            else [array_to_string(t, ' ')] end as g
+        from toks
+      ) x
+    ), per_gram as (
+      select doc_id, g, count(*) as c from grams group by doc_id, g
+    ), per_doc as (
+      select doc_id, sum(c) as total_ngrams, count(*) as distinct_ngrams,
+             max(c) as top
+      from per_gram group by doc_id
+    )
+    select d.doc_id,
+      coalesce(p.total_ngrams, 0) as total_ngrams,
+      coalesce(p.distinct_ngrams, 0) as distinct_ngrams,
+      round(case when p.total_ngrams > 0
+            then 1.0 - p.distinct_ngrams / p.total_ngrams else 0.0 end, 4)
+        as dup_ngram_ratio,
+      round(case when p.total_ngrams > 0
+            then p.top / p.total_ngrams else 0.0 end, 4) as top_ngram_share
+    from documents d left join per_doc p on p.doc_id = d.doc_id
+    """,
+)
+def repetition_signals_q(spark, sf_dir):
+    """Gopher-style intra-doc repetition filters (operators/text_analysis
+    repetition_signals)."""
+    from payor_mdm_spark.operators.text_analysis import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "train_val_test_split",
     """
     select doc_id,

@@ -401,3 +401,24 @@ class TestSplitMixRedact:
         assert "<CARDNUM>" in out
         assert "clean text stays" in out
         assert "a.b@c.io" not in out and "123-45-6789" not in out
+
+
+class TestRepetitionSignals:
+    def test_repeated_vs_clean(self, spark):
+        from payor_mdm_spark.operators.text_analysis import repetition_signals
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam spam spam"),
+                (2, "every word here is completely different from neighbors"),
+                (3, "ab"),          # shorter than n -> single joined gram
+                (4, ""),            # empty
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+        assert got[1].dup_ngram_ratio > 0.8      # one gram repeated
+        assert got[1].top_ngram_share > 0.8
+        assert got[2].dup_ngram_ratio == 0.0     # all grams distinct
+        assert got[3].total_ngrams == 1 and got[3].dup_ngram_ratio == 0.0
+        assert got[4].total_ngrams == 1          # [''] single empty gram
