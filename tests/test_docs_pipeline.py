@@ -1,0 +1,79 @@
+"""End-to-end training-corpus pipeline: counts, resume, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from payor_mdm_spark.plans.docs_pipeline import DOC_STAGES, run_docs_pipeline
+from payor_mdm_spark.sources.catalog import CheckpointStore
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    # inject exact + near duplicates so the dedup stages have real work
+    dupes = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "source", "text"
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "source",
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    return d.unionByName(dupes).unionByName(near).cache()
+
+
+def test_end_to_end_shapes(spark, corpus, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "docs"))
+    res = run_docs_pipeline(spark, corpus, store)
+    t = res.tables
+    n_in = corpus.count()
+    assert t["doc_stats"].count() == n_in
+    assert 0 < t["doc_filtered"].count() <= n_in
+    # exact dedup removed the injected byte-identical copies
+    assert t["doc_exact"].count() < t["doc_filtered"].count()
+    # near-dup clustering removed the tail-edited copies too
+    assert t["doc_keepers"].count() < t["doc_exact"].count()
+    splits = {r.split for r in t["doc_splits"].select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    packed = t["doc_packed"]
+    assert packed.filter("bin_offset >= 2048").count() == 0
+    # PII scrub ran before dedup: filtered text contains no raw emails
+    assert t["doc_filtered"].filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count() == 0
+    # metrics persisted with per-stage rows
+    by_stage = {r.stage: r.rows for r in store.read("docs_run_metrics").collect()}
+    assert set(by_stage) == set(DOC_STAGES)
+
+
+def test_resume_and_determinism(spark, corpus, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "docs2"))
+    first = run_docs_pipeline(spark, corpus, store, collect_metrics=True)
+
+    def snap(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect())
+
+    # snapshot BEFORE dropping: the resume re-write replaces these files
+    first_keepers = snap(first.tables["doc_keepers"])
+    # crash after doc_exact: downstream dropped, resume completes the rest
+    for stg in ("doc_keepers", "doc_splits", "doc_packed"):
+        store.drop(stg)
+    second = run_docs_pipeline(
+        spark, corpus, store, resume=True, collect_metrics=True
+    )
+    by_stage = {m["stage"]: m for m in second.metrics}
+    assert by_stage["doc_stats"]["skipped"]
+    assert by_stage["doc_exact"]["skipped"]
+    assert not by_stage["doc_keepers"]["skipped"]
+
+    # fresh full rerun reproduces identical outputs (determinism)
+    store3 = CheckpointStore(spark, str(tmp_path / "docs3"))
+    third = run_docs_pipeline(spark, corpus, store3, collect_metrics=False)
+    assert snap(second.tables["doc_packed"]) == snap(third.tables["doc_packed"])
+    assert first_keepers == snap(third.tables["doc_keepers"])
