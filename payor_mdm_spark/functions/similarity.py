@@ -28,6 +28,10 @@ from collections import Counter
 from difflib import SequenceMatcher
 
 from payor_mdm_spark.config import ABBREVS, ADDR_STOPS, STREET_NORMS
+from payor_mdm_spark.functions.native_kernels import (
+    native_jaro_winkler,
+    native_trigram_cosine,
+)
 
 _DIGITS_RE = re.compile(r"[^0-9]")
 
@@ -105,7 +109,6 @@ def jaro_winkler(a: str | None, b: str | None) -> float | None:
     by construction and by property test); pure Python otherwise."""
     if a is None or b is None:
         return None
-    from payor_mdm_spark.functions.native_kernels import native_jaro_winkler
 
     n = native_jaro_winkler(a, b)
     if n is not None:
@@ -172,8 +175,6 @@ def _trigram_profile(s: str) -> tuple[Counter, float]:
 
 
 def trigram_cosine(a: str, b: str) -> float:
-    from payor_mdm_spark.functions.native_kernels import native_trigram_cosine
-
     n = native_trigram_cosine(a, b)
     if n is not None:
         return round(n, 4)
