@@ -56,13 +56,18 @@ STRING_SCORES_SCHEMA = StructType(
 
 
 def _route_name_impl(
-    a: str, b: str, abbrevs: dict[str, str] | None = None
+    a: str, b: str, abbrevs: dict[str, str] | None = None,
+    jw: float | None = None, tri: float | None = None,
 ) -> tuple[float, str]:
     """Name-strategy router on already upper/stripped inputs, against an
     explicit abbreviation table (None -> config.ABBREVS). The table is
     data, not code: stewards extend ABBREVIATION_DICT
     (12_abbreviation_dict.sql:49-75) and the router picks it up via
-    apply_ensemble(abbrevs=...)."""
+    apply_ensemble(abbrevs=...).
+
+    ``jw``/``tri`` are optional PRE-ROUNDED scores from the batched C
+    kernels (one ctypes call per Arrow batch) — when given they replace
+    the per-call kernel invocations, bit-identically."""
     table = ABBREVS if abbrevs is None else abbrevs
     has_abbrev = any(t in table for t in a.split()) or any(
         t in table for t in b.split()
@@ -73,18 +78,18 @@ def _route_name_impl(
     results: dict[str, float] = {}
     if has_abbrev:
         results["NAME_ABR"] = sim.name_abr(a, b, abbrevs)
-        results["NAME_JW"] = sim.name_jw(a, b)
+        results["NAME_JW"] = jw if jw is not None else sim.name_jw(a, b)
         results["NAME_TSR"] = sim.token_sort_ratio(a, b)
     elif len_ratio < 0.6:
         results["NAME_TSR"] = sim.token_sort_ratio(a, b)
         results["NAME_ABR"] = sim.name_abr(a, b, abbrevs)
     elif mx <= 20:
-        results["NAME_JW"] = sim.name_jw(a, b)
+        results["NAME_JW"] = jw if jw is not None else sim.name_jw(a, b)
         results["NAME_PHO"] = phonetic_equal(a, b)
-        results["NAME_NGR"] = sim.trigram_cosine(a, b)
+        results["NAME_NGR"] = tri if tri is not None else sim.trigram_cosine(a, b)
     else:
-        results["NAME_JW"] = sim.name_jw(a, b)
-        results["NAME_NGR"] = sim.trigram_cosine(a, b)
+        results["NAME_JW"] = jw if jw is not None else sim.name_jw(a, b)
+        results["NAME_NGR"] = tri if tri is not None else sim.trigram_cosine(a, b)
 
     winner = max(results, key=results.get)  # first max in insertion order
     return results[winner], winner
@@ -172,10 +177,17 @@ def _string_scores_batch(
     # are default-off)
     name_memo: dict = {}
     addr_memo: dict = {}
+
+    # pass 1: normalize names, take the identical fast path, collect the
+    # rows that need the router
+    ua_l: list = [None] * n
+    ub_l: list = [None] * n
+    routed: list[int] = []
     for i in range(n):
         na, nb = na_l[i], nb_l[i]
         if na and nb:
             ua, ub = na.upper().strip(), nb.upper().strip()
+            ua_l[i], ub_l[i] = ua, ub
             if ua == ub and ua:
                 # identical-string fast path: every routed strategy scores
                 # 1.0, so the winner is the first strategy the router would
@@ -187,16 +199,35 @@ def _string_scores_batch(
                 out["name_score"][i] = 1.0
                 out["name_strategy"][i] = "NAME_ABR" if has_abbrev else "NAME_JW"
             else:
-                key = (ua, ub)
-                hit = name_memo.get(key)
-                if hit is None:
-                    hit = (
-                        route_name(ua, ub)
-                        if abbrevs is None
-                        else _route_name_impl(ua, ub, abbrevs)
-                    )
-                    name_memo[key] = hit
-                out["name_score"][i], out["name_strategy"][i] = hit
+                routed.append(i)
+
+    # pass 2: ONE batched C call for the JW + trigram scores of every
+    # routed row (bit-identical values; rows the C side cannot take are
+    # flagged and score per-call below)
+    jw_arr = tri_arr = fb_arr = None
+    if routed:
+        from payor_mdm_spark.functions.native_kernels import batch_jw_tri
+
+        batched = batch_jw_tri(
+            [ua_l[i] for i in routed], [ub_l[i] for i in routed]
+        )
+        if batched is not None:
+            jw_arr, tri_arr, fb_arr = batched
+
+    # pass 3: route, feeding the precomputed kernels in
+    for k, i in enumerate(routed):
+        ua, ub = ua_l[i], ub_l[i]
+        key = (ua, ub)
+        hit = name_memo.get(key)
+        if hit is None:
+            jw = tri = None
+            if jw_arr is not None and not fb_arr[k]:
+                jw = round(float(jw_arr[k]), 4)
+                tri = round(float(tri_arr[k]), 4)
+            hit = _route_name_impl(ua, ub, abbrevs, jw=jw, tri=tri)
+            name_memo[key] = hit
+        out["name_score"][i], out["name_strategy"][i] = hit
+    for i in range(n):
         aa, ab = aa_l[i], ab_l[i]
         if aa and ab:
             ua, ub = aa.upper().strip(), ab.upper().strip()
