@@ -1358,6 +1358,37 @@ def text_quality_score(spark, sf_dir):
 
 
 @query(
+    "tfidf_top_terms",
+    """
+    with toks as (
+      select doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        t -> t <> '')) as term
+      from documents
+    ), tf as (
+      select doc_id, term, count(*) as tf from toks group by doc_id, term
+    ), df as (
+      select term, count(*) as df from tf group by term
+    ), n as (
+      select count(distinct doc_id) as n_docs from documents
+    )
+    select doc_id, term, tf.tf, df.df,
+      round(tf.tf * ln(cast(n.n_docs as double) / df.df), 6) as tfidf,
+      cast(row_number() over (partition by doc_id
+                              order by round(tf.tf * ln(cast(n.n_docs as double) / df.df), 6) desc,
+                                       term asc) as int) as rank
+    from tf join df using (term) cross join n
+    qualify rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Per-document characteristic terms (operators/text_analysis
+    tfidf_top_terms)."""
+    from payor_mdm_spark.operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "repetition_signals",
     """
     with toks as (

@@ -422,3 +422,22 @@ class TestRepetitionSignals:
         assert got[2].dup_ngram_ratio == 0.0     # all grams distinct
         assert got[3].total_ngrams == 1 and got[3].dup_ngram_ratio == 0.0
         assert got[4].total_ngrams == 1          # [''] single empty gram
+
+
+class TestTfidf:
+    def test_unique_terms_outrank_ubiquitous(self, spark):
+        from payor_mdm_spark.operators.text_analysis import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common zebra"),
+                (2, "common quartz"),
+                (3, "common common common"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {(r.doc_id, r.rank): r for r in tfidf_top_terms(docs, k=2).collect()}
+        assert got[(1, 1)].term == "zebra"      # df=1 beats tf-heavy 'common'
+        assert got[(2, 1)].term == "quartz"
+        # 'common' appears in every doc -> idf = ln(1) = 0
+        assert got[(3, 1)].tfidf == 0.0
