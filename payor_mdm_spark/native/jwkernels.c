@@ -89,12 +89,22 @@ void jaro_winkler_batch(const unsigned char *bufa, const int32_t *offa,
 
 #define TG_CAP 2048  /* power of two; > 3x max distinct trigrams of 1024-byte input */
 
-typedef struct { uint32_t key[TG_CAP]; int32_t cnt[TG_CAP]; } tgtab;
+/* used[]/nused track occupied slots so clearing, norm and dot loops touch
+ * only the ~|s| live entries instead of all TG_CAP slots per call —
+ * identical arithmetic, pure bookkeeping */
+typedef struct {
+    uint32_t key[TG_CAP]; int32_t cnt[TG_CAP];
+    uint16_t used[TG_CAP]; int nused;
+} tgtab;
 
 static void tg_insert(tgtab *t, uint32_t key) {
     uint32_t h = (key * 2654435761u) & (TG_CAP - 1);
     for (;;) {
-        if (t->cnt[h] == 0) { t->key[h] = key; t->cnt[h] = 1; return; }
+        if (t->cnt[h] == 0) {
+            t->key[h] = key; t->cnt[h] = 1;
+            t->used[t->nused++] = (uint16_t)h;
+            return;
+        }
         if (t->key[h] == key) { t->cnt[h]++; return; }
         h = (h + 1) & (TG_CAP - 1);
     }
@@ -111,7 +121,10 @@ static int32_t tg_get(const tgtab *t, uint32_t key) {
 
 /* whole-string-as-single-gram key for inputs shorter than 3 bytes */
 static void fill_table(tgtab *t, const unsigned char *s, int n, int64_t *sumsq) {
-    memset(t->cnt, 0, sizeof t->cnt);
+    /* clear only the slots the previous call used (cnt==0 terminates probe
+     * chains exactly as the old full memset did; stale keys are inert) */
+    for (int i = 0; i < t->nused; i++) t->cnt[t->used[i]] = 0;
+    t->nused = 0;
     if (n >= 3) {
         for (int i = 0; i + 3 <= n; i++) {
             uint32_t key = ((uint32_t)s[i] << 16) | ((uint32_t)s[i + 1] << 8) | s[i + 2];
@@ -127,8 +140,8 @@ static void fill_table(tgtab *t, const unsigned char *s, int n, int64_t *sumsq) 
         tg_insert(t, key);
     }
     int64_t ss = 0;
-    for (int i = 0; i < TG_CAP; i++) {
-        int64_t c = t->cnt[i];
+    for (int i = 0; i < t->nused; i++) {
+        int64_t c = t->cnt[t->used[i]];
         ss += c * c;
     }
     *sumsq = ss;
@@ -142,8 +155,9 @@ double trigram_cosine_c(const unsigned char *a, int la,
     fill_table(&ta, a, la, &ssa);
     fill_table(&tb, b, lb, &ssb);
     int64_t dot = 0;
-    for (int i = 0; i < TG_CAP; i++) {
-        if (ta.cnt[i]) dot += (int64_t)ta.cnt[i] * tg_get(&tb, ta.key[i]);
+    for (int i = 0; i < ta.nused; i++) {
+        uint32_t h = ta.used[i];
+        dot += (int64_t)ta.cnt[h] * tg_get(&tb, ta.key[h]);
     }
     double ma = sqrt((double)ssa), mb = sqrt((double)ssb);
     if (ma == 0.0 || mb == 0.0) return 0.0;
