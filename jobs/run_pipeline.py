@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
                         "of every new/changed conversation)")
     p.add_argument("--iceberg", action="store_true")
     p.add_argument("--run-ts", default="2026-01-01 00:00:00")
+    p.add_argument("--validate", action="store_true",
+                   help="run the dbt-test-style data contracts after the "
+                        "pipeline; non-zero exit on any failure")
     p.add_argument("--max-block-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
@@ -95,6 +98,16 @@ def main(argv: list[str] | None = None) -> int:
     for m in result.metrics:
         print(f"{m['stage']:>18} rows={m['rows']:>10} {m['seconds']:8.2f}s"
               f"{'  (resumed)' if m['skipped'] else ''}")
+    if args.validate:
+        from payor_mdm_spark.plans.contracts import validate_store
+
+        checks = validate_store(store)
+        failed = [c for c in checks if not c.passed]
+        for c in checks:
+            mark = "PASS" if c.passed else f"FAIL ({c.failing_rows} rows)"
+            print(f"contract {c.table:>16} :: {c.check:<36} {mark}")
+        if failed:
+            return 1
     return 0
 
 

@@ -166,3 +166,25 @@ def test_staging_view_mode_equivalent(spark, world, tmp_path):
     )
     want = {(r.master_entity_id, r.name_raw) for r in res2.tables["golden"].collect()}
     assert got == want
+
+
+def test_data_contracts_pass_and_catch_corruption(spark, pipeline_run, tmp_path):
+    """dbt-test analog (plans/contracts.validate_store): all green on a
+    healthy run; a corrupted table fails its check."""
+    from payor_mdm_spark.plans.contracts import validate_store
+    from payor_mdm_spark.sources.catalog import CheckpointStore
+
+    store = pipeline_run["store"]
+    checks = validate_store(store)
+    assert checks and all(c.passed for c in checks), [
+        (c.table, c.check, c.failing_rows) for c in checks if not c.passed
+    ]
+
+    # corrupt a copy: duplicate a golden row -> uniqueness check fails
+    bad = CheckpointStore(spark, str(tmp_path / "bad"))
+    for name in ("staged", "golden", "xref"):
+        bad.write(name, store.read(name))
+    g = store.read("golden")
+    bad.write("golden", g.unionByName(g.limit(1)))
+    bad_checks = {(c.table, c.check): c for c in validate_store(bad)}
+    assert not bad_checks[("golden", "master_entity_id unique")].passed
