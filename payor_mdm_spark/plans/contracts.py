@@ -123,4 +123,24 @@ def validate_store(store: CheckpointStore) -> list[CheckResult]:
         for side in ("parent_master_id", "child_master_id"):
             add("hierarchy", f"{side} references golden",
                 _dangling(h, side, t["golden"], "master_entity_id"))
+
+    # training-corpus pipeline tables (plans/docs_pipeline.py), if present
+    d = {name: store.read(name) for name in (
+        "doc_keepers", "doc_splits", "doc_packed",
+    ) if store.exists(name)}
+    if "doc_keepers" in d:
+        add("doc_keepers", "doc_id unique", _not_unique(d["doc_keepers"], ["doc_id"]))
+    if "doc_splits" in d:
+        add("doc_splits", "split accepted_values",
+            _not_in(d["doc_splits"], "split", ["train", "val", "test"]))
+    if "doc_packed" in d:
+        add("doc_packed", "offsets/bins non-negative",
+            d["doc_packed"].filter(
+                (F.col("bin_offset") < 0) | (F.col("bin_id") < 0)
+                | (F.col("token_count") < 0)
+            ).count())
+        if "doc_splits" in d:
+            add("doc_packed", "packed docs reference keepers",
+                _dangling(d["doc_packed"].select("doc_id"), "doc_id",
+                          d["doc_splits"], "doc_id"))
     return out

@@ -77,3 +77,14 @@ def test_resume_and_determinism(spark, corpus, tmp_path):
     third = run_docs_pipeline(spark, corpus, store3, collect_metrics=False)
     assert snap(second.tables["doc_packed"]) == snap(third.tables["doc_packed"])
     assert first_keepers == snap(third.tables["doc_keepers"])
+
+
+def test_docs_contracts(spark, corpus, tmp_path):
+    from payor_mdm_spark.plans.contracts import validate_store
+
+    store = CheckpointStore(spark, str(tmp_path / "docs_c"))
+    run_docs_pipeline(spark, corpus, store, collect_metrics=False)
+    checks = [c for c in validate_store(store) if c.table.startswith("doc_")]
+    assert checks and all(c.passed for c in checks), [
+        (c.table, c.check, c.failing_rows) for c in checks if not c.passed
+    ]
