@@ -105,17 +105,27 @@ def route_name(a: str, b: str) -> tuple[float, str]:
     return _route_name_impl(a, b)
 
 
-@_kernel_cache
-def route_addr(a: str, b: str) -> tuple[float, str]:
+def _route_addr_impl(
+    a: str, b: str,
+    jw_num: float | None = None, jw_name: float | None = None,
+    jw_nrm: float | None = None,
+) -> tuple[float, str]:
+    """Address router; optional RAW precomputed JW scores for the parsed
+    num/name components and the usps-normalized pair (batched C kernel)."""
     has_num = any(c.isdigit() for c in a[:10]) and any(c.isdigit() for c in b[:10])
     results: dict[str, float] = {}
     if has_num:
-        results["ADDR_CMP"] = sim.addr_component(a, b)
-        results["ADDR_NRM"] = sim.addr_normalized(a, b)
+        results["ADDR_CMP"] = sim.addr_component(a, b, jw_num=jw_num, jw_name=jw_name)
+        results["ADDR_NRM"] = sim.addr_normalized(a, b, jw=jw_nrm)
     else:
         results["ADDR_JAC"] = sim.addr_jaccard(a, b)
     winner = max(results, key=results.get)
     return results[winner], winner
+
+
+@_kernel_cache
+def route_addr(a: str, b: str) -> tuple[float, str]:
+    return _route_addr_impl(a, b)
 
 
 def score_tax(a: str | None, b: str | None) -> tuple[float | None, str | None]:
@@ -227,6 +237,9 @@ def _string_scores_batch(
             hit = _route_name_impl(ua, ub, abbrevs, jw=jw, tri=tri)
             name_memo[key] = hit
         out["name_score"][i], out["name_strategy"][i] = hit
+    # addr pass 1: fast paths; group the rows needing the router by
+    # distinct (ua, ub) pair so each pair routes once
+    pending: dict = {}  # (ua, ub) -> list of row indices
     for i in range(n):
         aa, ab = aa_l[i], ab_l[i]
         if aa and ab:
@@ -247,15 +260,65 @@ def _string_scores_batch(
                     out["addr_score"][i] = 1.0 if nonstop else 0.0
                     out["addr_strategy"][i] = "ADDR_JAC"
             else:
-                key = (ua, ub)
-                hit = addr_memo.get(key)
-                if hit is None:
-                    hit = route_addr(ua, ub)
-                    addr_memo[key] = hit
-                out["addr_score"][i], out["addr_strategy"][i] = hit
+                pending.setdefault((ua, ub), []).append(i)
         ts, tstrat = score_tax(ta_l[i], tb_l[i])
         out["tax_score"][i] = ts
         out["tax_strategy"][i] = tstrat
+
+    # addr pass 2: collect every JW input the has_num route will need
+    # (unequal parsed num/name components, unequal normalized strings),
+    # batch them through ONE C call, then route per distinct pair
+    jw_req_a: list = []
+    jw_req_b: list = []
+    req_slots: dict = {}  # (ua, ub) -> {"num": idx, "name": idx, "nrm": idx}
+    for (ua, ub) in pending:
+        if not (any(c.isdigit() for c in ua[:10]) and any(c.isdigit() for c in ub[:10])):
+            continue
+        slots: dict = {}
+        ca, cb = sim._addr_parse(ua), sim._addr_parse(ub)
+        for comp in ("num", "name"):
+            va, vb = ca.get(comp, ""), cb.get(comp, "")
+            if va and vb and va != vb:
+                slots[comp] = len(jw_req_a)
+                jw_req_a.append(va)
+                jw_req_b.append(vb)
+        na_, nb_ = sim.usps_normalize(ua), sim.usps_normalize(ub)
+        if na_ != nb_:
+            slots["nrm"] = len(jw_req_a)
+            jw_req_a.append(na_)
+            jw_req_b.append(nb_)
+        req_slots[(ua, ub)] = slots
+
+    jw_vals = jw_fb = None
+    if jw_req_a:
+        from payor_mdm_spark.functions.native_kernels import batch_jw
+
+        batched = batch_jw(jw_req_a, jw_req_b)
+        if batched is not None:
+            jw_vals, jw_fb = batched
+
+    def _pre(slots: dict, which: str):
+        idx = slots.get(which)
+        if idx is None or jw_vals is None or jw_fb[idx]:
+            return None
+        return float(jw_vals[idx])
+
+    for (ua, ub), rows in pending.items():
+        hit = addr_memo.get((ua, ub))
+        if hit is None:
+            slots = req_slots.get((ua, ub))
+            if slots is None:
+                hit = _route_addr_impl(ua, ub)
+            else:
+                hit = _route_addr_impl(
+                    ua, ub,
+                    jw_num=_pre(slots, "num"),
+                    jw_name=_pre(slots, "name"),
+                    jw_nrm=_pre(slots, "nrm"),
+                )
+            addr_memo[(ua, ub)] = hit
+        for i in rows:
+            out["addr_score"][i], out["addr_strategy"][i] = hit
     return pd.DataFrame(out)
 
 

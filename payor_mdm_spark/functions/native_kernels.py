@@ -157,3 +157,39 @@ def batch_jw_tri(names_a, names_b):
     # -1.0 = over-long sentinel from the C side
     fallback |= (jw < 0.0) | (tri < 0.0)
     return jw, tri, fallback
+
+
+def batch_jw(strs_a, strs_b):
+    """JW-only batch (addr component/normalized pairs): one ctypes call.
+    Returns (jw, fallback) numpy arrays, or None without a native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_batch(lib)
+    import numpy as np
+
+    n = len(strs_a)
+    enc_a = [b""] * n
+    enc_b = [b""] * n
+    fallback = np.zeros(n, dtype=bool)
+    for i in range(n):
+        x, y = strs_a[i], strs_b[i]
+        if x.isascii() and y.isascii():
+            enc_a[i] = x.encode()
+            enc_b[i] = y.encode()
+        else:
+            fallback[i] = True
+    offa = np.zeros(n + 1, dtype=np.int32)
+    offb = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum([len(s) for s in enc_a], out=offa[1:])
+    np.cumsum([len(s) for s in enc_b], out=offb[1:])
+    jw = np.empty(n, dtype=np.float64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_f64 = ctypes.POINTER(ctypes.c_double)
+    lib.jaro_winkler_batch(
+        b"".join(enc_a), offa.ctypes.data_as(p_i32),
+        b"".join(enc_b), offb.ctypes.data_as(p_i32),
+        n, jw.ctypes.data_as(p_f64),
+    )
+    fallback |= jw < 0.0
+    return jw, fallback

@@ -210,14 +210,24 @@ def _addr_parse(addr: str) -> dict[str, str]:
     return r
 
 
-def addr_component(a: str, b: str) -> float:
+def addr_component(
+    a: str, b: str,
+    jw_num: float | None = None, jw_name: float | None = None,
+) -> float:
+    """``jw_num``/``jw_name`` are optional RAW Jaro-Winkler scores for the
+    parsed (num, name) component pairs, precomputed by the batched C
+    kernel (functions/ensemble.py) — bit-identical to calling
+    jaro_winkler here."""
     ca, cb = _addr_parse(a), _addr_parse(b)
     tw, sc = 0.0, 0.0
-    for comp, w in (("num", 0.3), ("name", 0.3)):
+    for comp, w, pre in (("num", 0.3, jw_num), ("name", 0.3, jw_name)):
         va, vb = ca.get(comp, ""), cb.get(comp, "")
         if va and vb:
             tw += w
-            sc += w * (1.0 if va == vb else jaro_winkler(va, vb))
+            if va == vb:
+                sc += w
+            else:
+                sc += w * (pre if pre is not None else jaro_winkler(va, vb))
     return round(sc / tw, 4) if tw > 0 else 0.0
 
 
@@ -225,9 +235,11 @@ def usps_normalize(addr: str) -> str:
     return " ".join(STREET_NORMS.get(t, t) for t in addr.split())
 
 
-def addr_normalized(a: str, b: str) -> float:
+def addr_normalized(a: str, b: str, jw: float | None = None) -> float:
     na, nb = usps_normalize(a), usps_normalize(b)
-    return 1.0 if na == nb else round(jaro_winkler(na, nb), 4)
+    if na == nb:
+        return 1.0
+    return round(jw if jw is not None else jaro_winkler(na, nb), 4)
 
 
 def addr_zip_blend(addr_a: str | None, addr_b: str | None,
