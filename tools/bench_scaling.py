@@ -63,13 +63,14 @@ import pyspark.sql.functions as F
 n = int(sys.argv[1]); out = sys.argv[2]
 spark = get_spark(app_name="mkpairs", master="local[32]", shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
-# non-identical, fully distinct names/addresses: forces the full
-# JW/TSR/NGR + CMP/NRM path on every pair, no memo artifacts
+# non-identical, fully distinct names AND addresses (unique street number
+# per pair): forces the full JW/NGR + CMP/NRM kernels on every pair with
+# zero per-batch memo hits
 df = spark.range(n).repartition(64).select(
     F.concat(F.lit("ENTITY HEALTH PLAN NUMBER "), F.col("id").cast("string")).alias("name_a"),
     F.concat(F.lit("ENTITY HELTH PLAN NUMBR "), (F.col("id")+1).cast("string")).alias("name_b"),
-    F.concat(F.lit("123 MAPLE ST SPRINGFIELD IL 627"), (F.col("id")%100).cast("string")).alias("addr_a"),
-    F.concat(F.lit("123 MAPLE STREET SPRINGFLD IL 627"), ((F.col("id")+7)%100).cast("string")).alias("addr_b"),
+    F.concat((F.col("id")%100000).cast("string"), F.lit(" MAPLE ST SPRINGFIELD IL 627"), (F.col("id")%100).cast("string")).alias("addr_a"),
+    F.concat(((F.col("id")+13)%100000).cast("string"), F.lit(" MAPLE STREET SPRINGFLD IL 627"), ((F.col("id")+7)%100).cast("string")).alias("addr_b"),
     (F.col("id")%1000000007).cast("string").alias("exact_key_1_a"),
     ((F.col("id")+3)%1000000007).cast("string").alias("exact_key_1_b"),
     F.lit("4155551234").alias("phone_a"), F.lit("4155551234").alias("phone_b"),
