@@ -201,8 +201,8 @@ local[32], or N and 4N cores"). All numbers are best-of-3 interleaved runs.
 ### 1. Declared throughput metric: candidate-pairs-scored/sec
 
 The ensemble scoring kernel (DET-split + Arrow-vectorized pandas UDF with
-the full JW/TSR/NGR + CMP/NRM routing on every pair — all-distinct names,
-worst case for the batching memos) over parquet-backed candidate pairs:
+the full JW/NGR + CMP/NRM routing on every pair — all-distinct names AND
+addresses, zero memo hits) over parquet-backed candidate pairs:
 
 | config | pairs | wall time (s) | pairs scored/sec |
 | --- | --- | --- | --- |
