@@ -183,3 +183,25 @@ def test_parquet_dialect_bucket_by_colocates(spark, tmp_path):
         .count()
     )
     assert straddlers == 0
+
+
+def test_append_contract():
+    """Streaming landing appends: first write creates, later ones append()
+    snapshots — never a table rewrite."""
+
+    class AppendRecordingWriter(RecordingWriter):
+        def append(self):
+            self.log.append(("append", self.table))
+
+    class AppendRecordingDF(RecordingDF):
+        def writeTo(self, table):
+            return AppendRecordingWriter(self.log, table)
+
+    log = []
+    s2 = _iceberg_store(existing=["mdm.master.turns_raw"])
+    s2.append("turns_raw", AppendRecordingDF(log))
+    assert log == [("append", "mdm.master.turns_raw")]
+    log2 = []
+    s3 = _iceberg_store()  # table absent -> createOrReplace bootstrap
+    s3.append("turns_raw", AppendRecordingDF(log2))
+    assert log2 == [("createOrReplace", "mdm.master.turns_raw")]
