@@ -1217,6 +1217,21 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, queries, k=10, n_tables=4, dim=64)
 
 
+@query("ann_ivf_topk")  # k-means quantizer has no SQL twin — rows-only;
+# recall-vs-brute-force is pinned by tests/test_ivf_and_stateful.py
+def ann_ivf_topk(spark, sf_dir):
+    from payor_mdm_spark.operators.similarity_search import (
+        ivf_build_centroids, ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = ivf_build_centroids(e, n_centroids=8, seed=42)
+    return ivf_topk(e, queries, centroids, k=10, n_probe=3)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents)
 # ---------------------------------------------------------------------------
