@@ -228,3 +228,71 @@ def sniff_image_headers(media: DataFrame) -> DataFrame:
 
     imgs = media.filter(F.col("kind") == "image")
     return imgs.mapInPandas(fn, IMAGE_HEADER_SCHEMA)
+
+
+AUDIO_HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime_detected", StringType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("header_ok", StringType()),
+    ]
+)
+
+
+def sniff_wav_header(
+    b: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, str]:
+    """Parse (mime, channels, sample_rate, bits, duration_ms, status) from
+    RIFF/WAVE bytes: walk the chunk list to 'fmt ' (PCM layout) and 'data'
+    (payload size -> duration). Pure byte layout, no codec library."""
+    b = b or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None, None, "unknown"
+    i = 12
+    channels = rate = bits = block_align = None
+    data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(b[i + 20 : i + 22], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or not rate:
+        return "audio/wav", None, None, None, None, "truncated"
+    duration_ms = None
+    if data_size is not None and block_align:
+        duration_ms = (data_size * 1000) // (rate * block_align)
+    return "audio/wav", channels, rate, bits, duration_ms, "ok"
+
+
+def sniff_audio_headers(media: DataFrame) -> DataFrame:
+    """audio rows -> parsed WAV header metadata via mapInPandas (the real
+    half of the audio decode step; sample decode stays stubbed)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(sniff_wav_header)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_detected": parsed.map(lambda t: t[0]),
+                    "channels": parsed.map(lambda t: t[1]).astype("Int32"),
+                    "sample_rate": parsed.map(lambda t: t[2]).astype("Int32"),
+                    "bits_per_sample": parsed.map(lambda t: t[3]).astype("Int32"),
+                    "duration_ms": parsed.map(lambda t: t[4]).astype("Int64"),
+                    "header_ok": parsed.map(lambda t: t[5]),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        fn, AUDIO_HEADER_SCHEMA
+    )

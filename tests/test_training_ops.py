@@ -441,3 +441,47 @@ class TestTfidf:
         assert got[(2, 1)].term == "quartz"
         # 'common' appears in every doc -> idf = ln(1) = 0
         assert got[(3, 1)].tfidf == 0.0
+
+
+class TestWavHeaderSniff:
+    @staticmethod
+    def _wav(channels=2, rate=16000, bits=16, n_frames=16000):
+        block = channels * bits // 8
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        data = b"data" + (n_frames * block).to_bytes(4, "little") + b"\x00" * 8
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def test_parse_and_duration(self):
+        from payor_mdm_spark.operators.multimodal import sniff_wav_header
+
+        mime, ch, rate, bits, dur, ok = sniff_wav_header(self._wav())
+        assert (mime, ch, rate, bits, ok) == ("audio/wav", 2, 16000, 16, "ok")
+        assert dur == 1000  # 16000 frames at 16 kHz = 1 s
+        assert sniff_wav_header(b"RIFFxxxxWAVE")[5] == "truncated"
+        assert sniff_wav_header(b"not audio")[5] == "unknown"
+        assert sniff_wav_header(None)[5] == "unknown"
+
+    def test_spark_operator(self, spark):
+        from payor_mdm_spark.operators.multimodal import (
+            MEDIA_SCHEMA, sniff_audio_headers,
+        )
+
+        meta = {"width": None, "height": None, "duration_ms": None, "sample_rate": None}
+        rows = [
+            ("a1", "audio", "application/octet-stream",
+             bytearray(self._wav(1, 8000, 8, 4000)), meta),
+            ("a2", "audio", "application/octet-stream", bytearray(b"junk"), meta),
+            ("i1", "image", "image/png", bytearray(b"\x89PNG"), meta),
+        ]
+        got = {r.media_id: r for r in sniff_audio_headers(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+        assert set(got) == {"a1", "a2"}
+        assert (got["a1"].channels, got["a1"].sample_rate, got["a1"].duration_ms) == (1, 8000, 500)
+        assert got["a2"].header_ok == "unknown"
