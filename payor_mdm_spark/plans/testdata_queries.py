@@ -1074,8 +1074,9 @@ def contamination_check(spark, sf_dir):
       from documents
     ), packed as (
       select doc_id, source, token_count,
-        sum(token_count) over (partition by source order by doc_id
-                               rows between unbounded preceding and current row)
+        cast(sum(token_count) over (partition by source order by doc_id
+                                    rows between unbounded preceding and current row)
+             as bigint)
           - token_count as cum_before
       from toks
     )
@@ -1421,7 +1422,8 @@ def tfidf_top_terms_q(spark, sf_dir):
     ), per_gram as (
       select doc_id, g, count(*) as c from grams group by doc_id, g
     ), per_doc as (
-      select doc_id, sum(c) as total_ngrams, count(*) as distinct_ngrams,
+      select doc_id, cast(sum(c) as bigint) as total_ngrams,
+             count(*) as distinct_ngrams,
              max(c) as top
       from per_gram group by doc_id
     )
@@ -1496,9 +1498,10 @@ def train_val_test_split(spark, sf_dir):
       from f
     ), c as (
       select doc_id, source, token_count, quality_score,
-        sum(token_count) over (partition by source
-                               order by quality_score desc, doc_id asc
-                               rows between unbounded preceding and current row)
+        cast(sum(token_count) over (partition by source
+                                    order by quality_score desc, doc_id asc
+                                    rows between unbounded preceding and current row)
+             as bigint)
           as cum_tokens
       from q
     )
