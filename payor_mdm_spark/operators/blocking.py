@@ -169,7 +169,7 @@ def minhash_signature(col: Column, num_hashes: int = MINHASH_NUM_HASHES,
 
 def _with_signature(
     df: DataFrame, text_col: str, num_hashes: int, k: int,
-    id_col: str = _ID,
+    id_col: str = _ID, hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """[id_col, text_col] -> [id_col, _sig] via explode + hash-aggregate.
 
@@ -177,26 +177,41 @@ def _with_signature(
     INTERPRETED, not codegen'd — the round-1 array formulation spent most
     of its time in per-element object allocation. This shape keeps every
     hot expression inside WholeStageCodegen: explode the shingles, compute
-    the num_hashes xxhash64 columns natively, groupBy(id) with num_hashes
+    the num_hashes hash columns natively, groupBy(id) with num_hashes
     min() aggregates (map-side partial combine -> the shuffle carries one
-    ~num_hashes*8-byte row per document). Hash values are bit-identical to
-    signature_from_shingles (same (shingle, int-seed) xxhash64 inputs).
+    ~num_hashes*8-byte row per document). In the default xxhash64 mode
+    hash values are bit-identical to signature_from_shingles (same
+    (shingle, int-seed) xxhash64 inputs).
+
+    ``hash_mode="md5"`` uses md5_60bit(shingle || '#' || seed) instead —
+    slower per hash, but DuckDB reproduces it exactly, which upgrades
+    MinHash consumers from rows-only to a full value oracle (the same
+    trade dedup_simhash/text_fingerprint made; VERDICT r02 item 2).
 
     At scale: shuffle volume is O(#docs * num_hashes * 8B) regardless of
     document size — the explode never leaves the map side.
     """
+    from payor_mdm_spark.functions.textnorm import md5_60bit
+
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    exploded = (
-        df.select(id_col, F.col(text_col).alias("_t"))
-        # spread the CPU-heavy hashing across all cores even when the
-        # source scan has one input split
-        .repartition(parallelism)
-        .select(id_col, F.explode(_shingles(F.col("_t"), k)).alias("_s"))
-    )
-    mins = [
-        F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}")
-        for j in range(num_hashes)
-    ]
+    base = df.select(id_col, F.col(text_col).alias("_t"))
+    # spread the CPU-heavy hashing across all cores when the source scan
+    # has fewer splits than cores; at scale the scan already has thousands
+    # of splits and the repartition would be a pure-overhead shuffle of the
+    # corpus, so skip it (VERDICT r02 item 6)
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
+    exploded = base.select(id_col, F.explode(_shingles(F.col("_t"), k)).alias("_s"))
+    if hash_mode == "md5":
+        mins = [
+            F.min(md5_60bit(F.concat(F.col("_s"), F.lit(f"#{j}")))).alias(f"_h{j}")
+            for j in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}")
+            for j in range(num_hashes)
+        ]
     return (
         exploded.groupBy(id_col)
         .agg(*mins)

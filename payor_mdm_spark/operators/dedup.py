@@ -103,10 +103,18 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     max_block_size: int = 500,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup detection, verified with exact shingle Jaccard.
 
     Output: [id_a, id_b, jaccard] with id_a < id_b and jaccard >= threshold.
+
+    ``hash_mode="md5"`` switches the shingle hashes to md5_60bit and the
+    band bucket key to the concat of the band's signature rows — every
+    step (signature, banding, estimator prune, exact verify) then has an
+    exact DuckDB twin, giving the operator a full value oracle
+    (VERDICT r02 item 2a). The default xxhash64 mode stays the fast path
+    for the blocking layer.
     """
     rows_per_band = num_hashes // bands
     # eager materialization: the banded members feed the block-count
@@ -114,16 +122,22 @@ def minhash_dedup_pairs(
     # still re-executes the (CPU-heavy) signature projection per branch
     base = _with_signature(
         docs.select(F.col(id_col).alias("source_record_id"), F.col(text_col)),
-        text_col, num_hashes, shingle_k,
+        text_col, num_hashes, shingle_k, hash_mode=hash_mode,
     ).select("source_record_id", "_sig").localCheckpoint(eager=True)
+
+    def _bucket(b: int) -> Column:
+        rows = [
+            F.element_at("_sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_mode == "md5":
+            # concat string — reproducible in ANSI SQL (the oracle twin)
+            return F.concat_ws("|", *[r.cast("string") for r in rows])
+        return F.xxhash64(*rows)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ]
     )

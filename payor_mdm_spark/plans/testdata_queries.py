@@ -884,7 +884,65 @@ def dedup_token_jaccard(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh")  # xxhash64-seeded — no SQL oracle (rows-only)
+# the full MinHash+LSH construction in md5_60bit hash mode, written so
+# DuckDB reproduces every stage of the Spark operator bit-for-bit:
+# char-5-shingles of upper(text), 64 md5_60bit(shingle || '#j') min-hashes,
+# 16 bands x 4 rows (bucket = '|'-joined signature slice), distinct
+# canonical candidate pairs, the 3-sigma estimator prune
+# (>= 0.8 - 1.5/sqrt(64) agreement), then exact shingle Jaccard >= 0.8.
+# The xxhash64 mode stays the fast path for the blocking layer
+# (tests/test_blocking.py pins its behavior); this entry trades hash speed
+# for a full value oracle, exactly like dedup_simhash / text_fingerprint.
+@query(
+    "dedup_minhash_lsh",
+    """
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000 as doc_id, text || ' tail' as text
+      from documents where doc_id % 7 = 0
+    ), sh as (
+      select doc_id,
+        case when len(u) >= 5
+          then list_distinct(list_transform(range(1, len(u) - 3),
+                                            i -> substr(u, i, 5)))
+          else [u] end as g
+      from (select doc_id, upper(text) as u from corpus) t
+    ), sig as (
+      select doc_id, j,
+        min(('0x' || substr(md5(s || '#' || j), 1, 15))::BIGINT) as h
+      from (select doc_id, unnest(g) as s from sh) x
+      cross join range(0, 64) t(j)
+      group by doc_id, j
+    ), buckets as (
+      select doc_id, (j // 4)::INTEGER as band,
+        string_agg(h::VARCHAR, '|' order by j) as bucket
+      from sig group by doc_id, (j // 4)
+    ), cand as (
+      select distinct a.doc_id as id_a, b.doc_id as id_b
+      from buckets a
+      join buckets b
+        on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+    ), sigv as (
+      select doc_id, list(h order by j) as sig from sig group by doc_id
+    ), surv as (
+      select c.id_a, c.id_b
+      from cand c
+      join sigv sa on sa.doc_id = c.id_a
+      join sigv sb on sb.doc_id = c.id_b
+      where len(list_filter(range(0, 64), i -> sa.sig[i+1] = sb.sig[i+1]))
+            / 64.0 >= 0.6125
+    )
+    select s.id_a, s.id_b,
+      round(cast(len(list_intersect(ga.g, gb.g)) as double)
+            / len(list_distinct(list_concat(ga.g, gb.g))), 4) as jaccard
+    from surv s
+    join sh ga on ga.doc_id = s.id_a
+    join sh gb on gb.doc_id = s.id_b
+    where cast(len(list_intersect(ga.g, gb.g)) as double)
+          / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.8
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     from payor_mdm_spark.operators.dedup import minhash_dedup_pairs
 
@@ -895,7 +953,12 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.concat("text", F.lit(" tail")).alias("text"),
         )
     )
-    return minhash_dedup_pairs(corpus, jaccard_threshold=0.8)
+    # max_block_size high: the oracle models the un-salted construction
+    # (hot-bucket salting is covered by tests/test_blocking.py instead)
+    pairs = minhash_dedup_pairs(
+        corpus, jaccard_threshold=0.8, max_block_size=1_000_000, hash_mode="md5"
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 4))
 
 
 # the full 60-bit SimHash construction, written so DuckDB reproduces the
