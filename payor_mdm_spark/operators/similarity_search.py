@@ -185,6 +185,32 @@ def ivf_build_centroids(
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
 
 
+def ivf_sample_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer from a deterministic hash sample: the
+    ``n_centroids`` corpus rows with the lexicographically smallest
+    md5(id) become the centroids (cid = rank in that order).
+
+    A sampled-point quantizer is the standard k-means init (k-means++
+    without refinement); cell balance is worse than a converged k-means
+    but the construction is PURE SQL — ``row_number() over (order by
+    md5(id))`` — so the whole IVF query gets an exact DuckDB twin, which
+    the pyspark.ml KMeans quantizer (ivf_build_centroids) cannot.
+    Returns the same [(centroid_id, vector)] shape as
+    ivf_build_centroids; only the 8-row sample is collected."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(rows)]
+
+
 def _nearest_centroids(vec: Column, centroids: list, n_probe: int) -> Column:
     """Ids of the n_probe closest centroids (by cosine), as a native
     array expression over the broadcast centroid literals."""

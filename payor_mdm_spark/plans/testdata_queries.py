@@ -1281,18 +1281,75 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, queries, k=10, n_tables=4, dim=64)
 
 
-@query("ann_ivf_topk")  # k-means quantizer has no SQL twin — rows-only;
-# recall-vs-brute-force is pinned by tests/test_ivf_and_stateful.py
+# IVF with the deterministic hash-sampled quantizer (ivf_sample_centroids):
+# centroid c = the corpus row with the c-th smallest md5(vec_id), so the
+# whole construction — quantizer, top-1 cell assignment, n_probe=3 probe
+# cells (cosine desc, cid desc tie-break, mirroring the reversed
+# struct-sort in _nearest_centroids), cohort, scoring, ranking — has an
+# exact DuckDB twin. The pyspark.ml KMeans quantizer (ivf_build_centroids)
+# stays the production path; its recall-vs-brute-force is pinned by
+# tests/test_ivf_and_stateful.py.
+_IVF_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    with c as (select vec_id, cast(embedding as double[]) as v from embeddings),
+    q as (select vec_id as query_id, cast(embedding as double[]) as v
+          from embeddings where vec_id < 5),
+    cent as (
+      select row_number() over (order by md5(vec_id::VARCHAR)) - 1 as cid, v as cv
+      from c qualify cid <= 7
+    ),
+    ccell as (
+      select vec_id, cid from (
+        select c.vec_id, cent.cid,
+          row_number() over (partition by c.vec_id
+            order by {_IVF_COS.format(a='c.v', b='cent.cv')} desc, cent.cid desc
+          ) as rn
+        from c cross join cent
+      ) where rn = 1
+    ),
+    qcell as (
+      select query_id, cid from (
+        select q.query_id, cent.cid,
+          row_number() over (partition by q.query_id
+            order by {_IVF_COS.format(a='q.v', b='cent.cv')} desc, cent.cid desc
+          ) as rn
+        from q cross join cent
+      ) where rn <= 3
+    ),
+    cohort as (
+      select distinct qc.query_id, cc.vec_id
+      from qcell qc join ccell cc on cc.cid = qc.cid
+    ),
+    scored as (
+      select co.query_id, co.vec_id,
+        round({_IVF_COS.format(a='qq.v', b='cc.v')}, 6) as score
+      from cohort co
+      join q qq on qq.query_id = co.query_id
+      join c cc on cc.vec_id = co.vec_id
+    )
+    select query_id, vec_id, score,
+           cast(row_number() over (partition by query_id
+                                   order by score desc, vec_id asc) as int) as rank
+    from scored
+    qualify rank <= 10
+    """,
+)
 def ann_ivf_topk(spark, sf_dir):
     from payor_mdm_spark.operators.similarity_search import (
-        ivf_build_centroids, ivf_topk,
+        ivf_sample_centroids, ivf_topk,
     )
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    centroids = ivf_build_centroids(e, n_centroids=8, seed=42)
+    centroids = ivf_sample_centroids(e, n_centroids=8)
     return ivf_topk(e, queries, centroids, k=10, n_probe=3)
 
 
