@@ -220,6 +220,11 @@ def _simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     aggregate over the array — no UDF, deterministic. Token hashes are
     md5_60bit so DuckDB can reproduce the whole construction in SQL
     (the value oracle for dedup_simhash).
+
+    A NULL hash array (NULL text) yields a NULL simhash — content-free
+    docs must not collapse onto simhash 0 and band-bucket with genuinely
+    empty docs; NULL buckets then drop out of the candidate equi join on
+    both engines (ADVICE r02).
     """
 
     def mask(b: int) -> Column:
@@ -237,7 +242,7 @@ def _simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     sim = F.lit(0).cast("long")
     for b in range(bits):
         sim = sim + F.when(bit_sum(b) > 0, mask(b)).otherwise(F.lit(0).cast("long"))
-    return sim
+    return F.when(hashes.isNull(), F.lit(None).cast("long")).otherwise(sim)
 
 
 def token_hashes_col(text_col: Column) -> Column:
@@ -266,10 +271,17 @@ def simhash_signatures(
     functions are interpreted in Spark): explode the token hashes, compute
     the per-bit +1/-1 votes as native sum() aggregates (map-side partial
     combine), assemble the simhash from the vote signs. Bit-identical to
-    _simhash_from_hashes; empty/NULL-token documents (no exploded rows)
-    get simhash 0 via the left join, matching the aggregate init."""
+    _simhash_from_hashes: empty-token documents (no exploded rows) get
+    simhash 0 via the left join, matching the aggregate init, while
+    NULL-text documents keep a NULL simhash (the aggregate form returns
+    NULL for a NULL token array) — so content-free docs never band-bucket
+    with genuinely empty ones, and NULL buckets drop out of the equi join
+    entirely (ADVICE r02)."""
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    ids = docs.select(F.col(id_col).alias("source_record_id"))
+    ids = docs.select(
+        F.col(id_col).alias("source_record_id"),
+        F.col(text_col).isNull().alias("_tnull"),
+    )
     exploded = (
         docs.select(
             F.col(id_col).alias("source_record_id"),
@@ -297,7 +309,9 @@ def simhash_signatures(
     )
     return ids.join(agg, "source_record_id", "left").select(
         "source_record_id",
-        F.coalesce(F.col("_sh"), F.lit(0).cast("long")).alias("_sh"),
+        F.when(F.col("_tnull"), F.lit(None).cast("long"))
+        .otherwise(F.coalesce(F.col("_sh"), F.lit(0).cast("long")))
+        .alias("_sh"),
     )
 
 
@@ -352,9 +366,16 @@ def dedup_clusters(
     cluster keeps its min-id member. Output: [id_col, cluster_root,
     is_keeper] for every document (singletons are their own root).
     """
-    # zero-pad ids for the label propagation: component = MIN string id,
-    # and padding makes lexicographic min == numeric min for numeric ids
-    pad = lambda c: F.lpad(c.cast("string"), 24, "0")  # noqa: E731
+    # length-prefix ids for the label propagation: component = MIN string
+    # key, and '000024' || id style keys make lexicographic min == numeric
+    # min for numeric ids. A fixed-width lpad would TRUNCATE ids longer
+    # than the width (Spark lpad semantics) and collide distinct long
+    # URL/hash ids into one node; the length prefix is injective for any
+    # id shape and adds no truncation ceiling (ids to 999,999 chars).
+    pad = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.length(c.cast("string")).cast("string"), 6, "0"),
+        c.cast("string"),
+    )
     edges = pairs.select(
         pad(F.col("id_a")).alias("source_record_id_a"),
         pad(F.col("id_b")).alias("source_record_id_b"),

@@ -164,16 +164,27 @@ def apply_hierarchy_overrides(
     if overrides is None:
         return hierarchy
     keys = ["parent_master_id", "child_master_id"]
-    ov = overrides.select(
-        *keys,
-        F.col("action").alias("_action"),
-        F.col("relationship_type").alias("_rel"),
+    # dedupe defensively on (parent, child) — callers should pass
+    # read_hierarchy_overrides' latest-per-pair view, but a raw append-only
+    # table must not fan the left join out into duplicate hierarchy rows
+    # (ADVICE r02); max(action) is deterministic on the rare conflict
+    ov = (
+        overrides.select(
+            *keys,
+            F.col("action").alias("_action"),
+            F.col("relationship_type").alias("_rel"),
+        )
+        .groupBy(*keys)
+        .agg(F.max("_action").alias("_action"), F.max("_rel").alias("_rel"))
     )
+    # only confirm/insert actions confirm an edge — a future action value
+    # (e.g. 'reject') must not silently flip steward_confirmed (ADVICE r02)
+    confirming = F.col("_action").isin("confirm", "insert")
     confirmed = (
         hierarchy.join(F.broadcast(ov), keys, "left")
         .withColumn(
             "steward_confirmed",
-            F.col("steward_confirmed") | F.col("_action").isNotNull(),
+            F.col("steward_confirmed") | F.coalesce(confirming, F.lit(False)),
         )
         .drop("_action", "_rel")
     )
@@ -210,12 +221,29 @@ def tree_paths(
     HierarchyManager.tsx buildTree, computed engine-side instead of
     client-side).
     """
+    # the name_ref signal can emit both directions of an edge (A says
+    # parent B, B says parent A); a 2-cycle would keep pointer jumping from
+    # ever reaching the sum-of-depths fixpoint. Break mutual pairs up
+    # front deterministically: keep only the parent < child direction
+    # (ADVICE r02). Longer cycles are caught by the fixpoint guard below.
+    e = edges.select("parent_master_id", "child_master_id").distinct()
+    rev = e.select(
+        F.col("child_master_id").alias("parent_master_id"),
+        F.col("parent_master_id").alias("child_master_id"),
+    )
+    back = (
+        e.join(rev, ["parent_master_id", "child_master_id"], "semi")
+        .filter(F.col("parent_master_id") > F.col("child_master_id"))
+    )
+    edges = e.join(back, ["parent_master_id", "child_master_id"], "left_anti")
+
     parent_of = (
         edges.groupBy(F.col("child_master_id").alias("node"))
         .agg(F.min("parent_master_id").alias("anc"))
     )
     state = parent_of.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
     prev_total = state.select(F.sum("depth")).first()[0] or 0
+    converged = False
     for _ in range(max_iterations):
         up = state.select(
             F.col("node").alias("_n2"), F.col("anc").alias("_a2"),
@@ -233,8 +261,19 @@ def tree_paths(
         # fixpoint: every node already points at its root, so no depth grew
         total = state.select(F.sum("depth")).first()[0] or 0
         if total == prev_total:
+            converged = True
             break
         prev_total = total
+    if not converged:
+        # a forest of depth < 2^max_iterations always converges, so this
+        # means a cycle of length >= 3 survived the mutual-pair break —
+        # fail loudly instead of returning 2^50-scale depths (ADVICE r02)
+        raise RuntimeError(
+            "tree_paths did not reach its fixpoint after "
+            f"{max_iterations} pointer-jumping rounds; the resolved edge "
+            "set likely contains a cycle (len >= 3). Inspect the "
+            "parent_ref inputs or break the cycle with a steward override."
+        )
 
     roots = (
         edges.select(F.col("parent_master_id").alias("node"))

@@ -75,8 +75,14 @@ def det_rule_col() -> F.Column:
 
 
 def score_pairs(pairs: DataFrame, staged: DataFrame,
-                shuffle_partitions: int | None = None) -> DataFrame:
-    """Blocking pairs + staged records -> scored pairs."""
+                shuffle_partitions: int | None = None,
+                abbrevs: dict[str, str] | None = None) -> DataFrame:
+    """Blocking pairs + staged records -> scored pairs.
+
+    ``abbrevs``: abbreviation table for the ensemble router (None ->
+    config.ABBREVS). The pipeline threads the seeded ABBREVIATION_DICT
+    table through here so steward MERGE upserts change match results
+    without a code change (sources/steward.seed_abbreviation_dict)."""
     df = rehydrate_pairs(pairs, staged)
     if shuffle_partitions:
         df = df.repartition(shuffle_partitions, "source_record_id_a")
@@ -87,7 +93,7 @@ def score_pairs(pairs: DataFrame, staged: DataFrame,
         .withColumn("addr_a", F.when(F.col("addr_line_1_a").isNotNull(), _addr_concat("a")))
         .withColumn("addr_b", F.when(F.col("addr_line_1_b").isNotNull(), _addr_concat("b")))
     )
-    scored = apply_ensemble(df)
+    scored = apply_ensemble(df, abbrevs=abbrevs)
     scored = scored.withColumn(
         "overall_score",
         F.when(F.col("match_rule") != "FUZZY", F.lit(1.0)).otherwise(F.col("composite")),

@@ -128,9 +128,16 @@ def run_pipeline(
         "blocking_pairs",
         lambda: candidate_pairs(staged, max_block_size=max_block),
     )
+    # dict-as-data: the seeded ABBREVIATION_DICT table (incl. steward MERGE
+    # upserts) drives the ensemble router, mirroring survivorship_config;
+    # config.ABBREVS is the fallback when the table was never seeded
+    from payor_mdm_spark.sources.steward import load_abbreviation_dict
+
+    abbrevs = load_abbreviation_dict(store)
     scored = stage(
         "scored_pairs",
-        lambda: score_pairs(pairs, staged, shuffle_partitions=shuffle_partitions),
+        lambda: score_pairs(pairs, staged, shuffle_partitions=shuffle_partitions,
+                            abbrevs=abbrevs),
     )
     candidates = stage(
         "match_candidates",
@@ -291,7 +298,10 @@ def run_incremental(
         # committed scored table) and without touching the kernel (the
         # count needs only pair keys)
         rescored_n = to_score.count()
-    fresh = score_pairs(to_score, staged, shuffle_partitions=shuffle_partitions)
+    from payor_mdm_spark.sources.steward import load_abbreviation_dict
+
+    fresh = score_pairs(to_score, staged, shuffle_partitions=shuffle_partitions,
+                        abbrevs=load_abbreviation_dict(store))
     scored = reusable.select(*fresh.columns).unionByName(fresh)
     store.write("scored_pairs", scored)
 

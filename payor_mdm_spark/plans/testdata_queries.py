@@ -985,7 +985,11 @@ _SIMHASH_VOTES = "\n      + ".join(
         ) as th
       from corpus
     ), sh as (
-      select doc_id, {_SIMHASH_VOTES} as sh from th
+      -- NULL token array (NULL text) -> NULL simhash, matching the Spark
+      -- operator: content-free docs never band-bucket with empty docs
+      select doc_id, case when th is null then null
+                          else {_SIMHASH_VOTES} end as sh
+      from th
     ), buckets as (
       select doc_id, band, (sh >> (band::INTEGER * 15)) & 32767 as bucket
       from sh cross join range(0, 4) t(band)

@@ -135,3 +135,34 @@ def test_tree_paths_forest_and_multi_parent(spark):
     assert got["a"] == ("r1", 1) and got["b"] == ("r1", 1)
     assert got["c"] == ("r1", 2)  # via min-parent a
     assert got["x"] == ("r2", 1)
+
+
+def test_tree_paths_breaks_two_cycles_deterministically(spark):
+    """Mutual parent_ref edges (A<->B) must not spin pointer jumping
+    forever: the parent > child back-edge is dropped, so the lexicographic
+    smaller node becomes the root (ADVICE r02)."""
+    from payor_mdm_spark.operators.hierarchy import tree_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")],
+        "parent_master_id string, child_master_id string",
+    )
+    got = {r.node: (r.root, r.depth) for r in tree_paths(edges).collect()}
+    assert got["a"] == ("a", 0)
+    assert got["b"] == ("a", 1)
+    assert got["c"] == ("a", 2)
+
+
+def test_tree_paths_raises_on_longer_cycle(spark):
+    """A 3-cycle survives the mutual-pair break; the fixpoint guard must
+    fail loudly instead of returning 2^max_iterations-scale depths."""
+    import pytest
+
+    from payor_mdm_spark.operators.hierarchy import tree_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        "parent_master_id string, child_master_id string",
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        tree_paths(edges, max_iterations=6)

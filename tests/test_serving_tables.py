@@ -175,6 +175,30 @@ class TestHierarchyStewardWriteBack:
             "parent_master_id = 'P1' and child_master_id = 'C1'"
         ).collect()[0].steward_confirmed is True
 
+    def test_unknown_action_does_not_confirm_and_raw_table_does_not_fan_out(
+        self, spark
+    ):
+        """ADVICE r02: a future action value (e.g. 'reject') must not
+        silently confirm a matching edge, and a raw append-only overrides
+        table (duplicate rows per pair) must not duplicate hierarchy rows
+        through the left join."""
+        from payor_mdm_spark.operators.hierarchy import apply_hierarchy_overrides
+
+        raw = spark.createDataFrame(
+            [
+                ("P1", "C1", "reject", None),
+                ("P1", "C2", "confirm", None),
+                ("P1", "C2", "confirm", None),  # append-only duplicate
+            ],
+            "parent_master_id string, child_master_id string, "
+            "action string, relationship_type string",
+        )
+        out = apply_hierarchy_overrides(self._inferred(spark), raw)
+        rows = {(r.parent_master_id, r.child_master_id): r for r in out.collect()}
+        assert len(rows) == 2 and out.count() == 2  # no fan-out
+        assert rows[("P1", "C1")].steward_confirmed is False  # reject != confirm
+        assert rows[("P1", "C2")].steward_confirmed is True
+
     def test_invalid_action_rejected(self, spark, tmp_path):
         import pytest as _pytest
 
@@ -273,6 +297,52 @@ class TestAbbreviationDictAsData:
 
         without = apply_ensemble(pair).collect()[0]  # config constants only
         assert without.score_name < 1.0  # ZZH unknown -> no expansion
+
+    def test_pipeline_threads_seeded_dict_into_scoring(self, spark, tmp_path):
+        """ADVICE r02: the pipeline must READ the seeded table — a steward
+        MERGE upsert changes match results with no code change. Two records
+        whose names agree only through the steward-added abbreviation block
+        together on zip3+name4; with the seeded dict the scored pair routes
+        NAME_ABR at 1.0, without it the name score stays below 1."""
+        import datetime
+
+        from payor_mdm_spark.plans.pipeline import run_pipeline
+        from payor_mdm_spark.sources.catalog import CheckpointStore
+        from payor_mdm_spark.sources.steward import seed_abbreviation_dict
+        from payor_mdm_spark.streaming.ingest import TURN_SCHEMA
+
+        ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+        rows = []
+        for conv, name in (
+            ("conv-crm-000001", "ZEBRA ZONE HEALTH"),
+            ("conv-claims-000002", "ZEBRA ZH"),
+        ):
+            rows += [
+                (conv, 0, "user", f"Hi, I'm calling about {name}.", None, ts),
+                (conv, 1, "assistant", "ok", None, ts),
+                (conv, 2, "user",
+                 "The address on file is 100 Main Street, Springfield, "
+                 "Illinois, 62704.", None, ts),
+            ]
+        turns = spark.createDataFrame(rows, TURN_SCHEMA)
+
+        def scored_pair(store):
+            res = run_pipeline(spark, turns, store, collect_metrics=False)
+            got = res.tables["scored_pairs"].collect()
+            assert len(got) == 1  # zip3+name4 blocking pairs the two records
+            return got[0]
+
+        plain = CheckpointStore(spark, str(tmp_path / "plain"))
+        unseeded = scored_pair(plain)
+        assert unseeded.score_name < 1.0
+
+        seeded_store = CheckpointStore(spark, str(tmp_path / "seeded"))
+        seed_abbreviation_dict(
+            spark, seeded_store, overrides={"ZH": "ZONE HEALTH"}
+        )
+        seeded = scored_pair(seeded_store)
+        assert seeded.winning_name_strategy == "NAME_ABR"
+        assert seeded.score_name == 1.0
 
     def test_identical_name_with_table_abbrev_fast_path(self, spark, tmp_path):
         """The native fast path must consult the same table: identical names

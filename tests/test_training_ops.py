@@ -53,6 +53,31 @@ class TestDedup:
         got = {(r.id_a, r.id_b) for r in simhash_candidate_pairs(docs).collect()}
         assert (1, 2) in got
 
+    def test_simhash_null_text_matches_aggregate_form(self, spark):
+        """ADVICE r02: NULL-text docs keep a NULL simhash (bit-identical to
+        _simhash_from_hashes) and never pair — not even with each other or
+        with genuinely empty docs (which correctly hash to 0)."""
+        from payor_mdm_spark.operators.dedup import (
+            simhash_candidate_pairs,
+            simhash_col,
+            simhash_signatures,
+        )
+
+        d = spark.createDataFrame(
+            [(1, None), (2, None), (3, ""), (4, "   "), (5, "hello world")],
+            "doc_id long, text string",
+        )
+        sigs = {r.source_record_id: r._sh for r in simhash_signatures(d).collect()}
+        agg = {
+            r.doc_id: r.sh
+            for r in d.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()
+        }
+        assert sigs == agg  # bit-identical incl. the NULLs
+        assert sigs[1] is None and sigs[2] is None
+        assert sigs[3] == 0 and sigs[4] == 0
+        got = {(r.id_a, r.id_b) for r in simhash_candidate_pairs(d).collect()}
+        assert got == {(3, 4)}  # empty docs pair; NULL docs pair with nothing
+
 
 class TestSimilaritySearch:
     @pytest.fixture(scope="class")
@@ -198,6 +223,23 @@ class TestDedupClusters:
         pairs = spark.createDataFrame([(99, 130)], "id_a long, id_b long")
         got = {r.doc_id: r.cluster_root for r in dedup_clusters(docs, pairs).collect()}
         assert got == {99: 99, 130: 99}  # '130' < '99' lexicographically — padded ids fix it
+
+    def test_long_string_ids_sharing_prefix_do_not_collide(self, spark):
+        # regression: a fixed-width lpad TRUNCATED >24-char ids, so two
+        # distinct URL/hash ids sharing a 24-char prefix became one node
+        # and unrelated clusters merged through it
+        from payor_mdm_spark.operators.dedup import dedup_clusters
+
+        p = "https://example.com/very/long/path/"  # 35 chars, shared prefix
+        docs = spark.createDataFrame(
+            [(p + "a",), (p + "b",), ("zz-short",)], "doc_id string"
+        )
+        pairs = spark.createDataFrame([(p + "b", "zz-short")], "id_a string, id_b string")
+        got = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+        assert got[p + "a"].cluster_root == p + "a" and got[p + "a"].is_keeper
+        assert got[p + "b"].cluster_root == got["zz-short"].cluster_root
+        # shorter key sorts first under the length-prefixed representative
+        assert got[p + "b"].cluster_root == "zz-short"
 
 
 class TestContamination:
