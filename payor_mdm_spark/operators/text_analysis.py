@@ -148,6 +148,69 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _partitioned_prefix_sum(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Running sum of ``value_col`` per ``part_col`` in ``order_cols``
+    order — the classic two-level (per-chunk partial + offset) prefix sum.
+
+    A plain ``Window.partitionBy(part_col)`` puts EVERY row of a source in
+    ONE task; with a handful of sources at the 100 TB point those tasks do
+    ~all the work (VERDICT r02 item 3). Instead:
+
+    1. range-partition by (part, order) — rows of a source become
+       contiguous ordered chunks across many tasks;
+    2. per-(part, chunk) running sum — bounded windows, full parallelism;
+    3. per-chunk totals (one row per (part, chunk) — tiny) get their own
+       exclusive prefix sum, and the offsets broadcast-join back.
+
+    The result is independent of where the range boundaries fall (offsets
+    compensate), so it is exactly the single-window answer. Shuffle cost:
+    one range exchange + one hash exchange of the slim projection, both
+    fully parallel, plus a broadcast of #parts * #chunks offset rows.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with_pid = (
+        df.repartitionByRange(n, F.col(part_col), *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # two consumers (partials + the window) — materialize once so the
+        # range shuffle isn't re-executed per branch
+        .localCheckpoint(eager=True)
+    )
+    partials = with_pid.groupBy(part_col, "_pid").agg(
+        F.sum(value_col).alias("_psum")
+    )
+    # exclusive prefix over the CHUNK TOTALS — one row per chunk, so this
+    # single-task-per-part window touches #chunks rows, not the corpus
+    wo = (
+        Window.partitionBy(part_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        part_col, "_pid",
+        F.coalesce(F.sum("_psum").over(wo), F.lit(0)).alias("_off"),
+    )
+    win = (
+        Window.partitionBy(part_col, "_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn("_lcum", F.sum(value_col).over(win))
+        .join(F.broadcast(offsets), [part_col, "_pid"])
+        .withColumn(out_col, (F.col("_lcum") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lcum", "_off")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int,
@@ -160,26 +223,24 @@ def pack_sequences(
     Documents are laid out contiguously in deterministic (partition, id)
     order; bin k holds token positions [k*budget, (k+1)*budget). Each doc
     reports the bin its FIRST token lands in plus its offset — the
-    standard GPT-style pack-then-chunk layout, computed with one window
-    cumsum per partition (no global sort: ``partition_col`` bounds every
-    window, so the 100 TB layout is one shuffle by partition key).
+    standard GPT-style pack-then-chunk layout. The running sum is the
+    two-level prefix sum (_partitioned_prefix_sum), so no single task ever
+    owns a whole source's cumsum — the 100 TB layout stays parallel even
+    with a handful of sources.
     Output: [id_col, partition_col, token_count, bin_id, bin_offset].
     """
-    from pyspark.sql.window import Window
-
     t = F.col(text_col)
-    w = (
-        Window.partitionBy(partition_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = docs.select(
+        id_col, partition_col, token_count_col(t).alias("token_count")
     )
-    toks = token_count_col(t)
-    running = F.sum(toks).over(w)
-    cum_before = (running - toks).cast("long")
-    return docs.select(
+    running = _partitioned_prefix_sum(
+        scored, partition_col, [F.col(id_col).asc()], "token_count", "_run"
+    )
+    cum_before = (F.col("_run") - F.col("token_count")).cast("long")
+    return running.select(
         id_col,
         partition_col,
-        toks.alias("token_count"),
+        "token_count",
         F.floor(cum_before / budget_tokens).alias("bin_id"),
         (cum_before % budget_tokens).alias("bin_offset"),
     )
@@ -225,32 +286,30 @@ def mixture_plan(
     quota = share * total_budget_tokens and is filled in descending
     quality_score order (id ascending tie-break) until the quota is
     reached — the greedy mixture construction used for pretraining-data
-    recipes. One window per source (bounded partitions, no global sort).
+    recipes. The per-source running sum is the two-level prefix sum
+    (_partitioned_prefix_sum): no single task owns a source.
     Output: [id_col, source_col, token_count, quality_score, cum_tokens,
     selected].
     """
-    from pyspark.sql.window import Window
-
     t = F.col(text_col)
     quota = F.create_map(
         *[x for s, w in sorted(weights.items())
           for x in (F.lit(s), F.lit(float(w * total_budget_tokens)))]
-    )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.col("quality_score").desc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scored = docs.select(
         id_col, source_col,
         token_count_col(t).alias("token_count"),
         quality_score_col(t).alias("quality_score"),
     )
-    cum = F.sum("token_count").over(w).cast("long")
-    return scored.select(
-        id_col, source_col, "token_count", "quality_score",
-        cum.alias("cum_tokens"),
-        (cum <= F.coalesce(quota[F.col(source_col)], F.lit(0.0))).alias("selected"),
+    running = _partitioned_prefix_sum(
+        scored, source_col,
+        [F.col("quality_score").desc(), F.col(id_col).asc()],
+        "token_count", "cum_tokens",
+    )
+    return running.select(
+        id_col, source_col, "token_count", "quality_score", "cum_tokens",
+        (F.col("cum_tokens")
+         <= F.coalesce(quota[F.col(source_col)], F.lit(0.0))).alias("selected"),
     )
 
 

@@ -314,17 +314,29 @@ class TestPackSequences:
         assert (got[3].bin_id, got[3].bin_offset) == (1, 1)
         assert (got[4].bin_id, got[4].bin_offset) == (0, 0)
 
-    def test_no_global_sort_in_plan(self, spark):
-        from payor_mdm_spark.operators.text_analysis import pack_sequences
+    def test_no_single_partition_per_source_window(self, spark):
+        """VERDICT r02 item 3: the corpus-sized running-sum window must be
+        partitioned by (source, chunk) — a window partitioned by source
+        alone puts a whole source in ONE task. Only the tiny chunk-total
+        offset window (input: one row per chunk) may partition by source."""
+        from payor_mdm_spark.operators.text_analysis import (
+            mixture_plan,
+            pack_sequences,
+        )
 
         docs = spark.createDataFrame(
             [(1, "a", "x")], "doc_id long, source string, text string"
         )
-        plan = (
-            pack_sequences(docs, 2048)._jdf.queryExecution().executedPlan().toString()
-        )
-        # window partitioned by source: a hash exchange, never a global sort
-        assert "rangepartitioning" not in plan.lower()
+        for df in (pack_sequences(docs, 2048), mixture_plan(docs, {"a": 1.0}, 10)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            for line in plan.splitlines():
+                if "windowspecdefinition" not in line:
+                    continue
+                # the offset window aggregates _psum (chunk totals); every
+                # other (corpus-sized) window must include _pid in its spec
+                if "_psum" in line:
+                    continue
+                assert "_pid" in line, f"corpus window lacks chunk key:\n{line}"
 
 
 class TestImageHeaderSniff:
