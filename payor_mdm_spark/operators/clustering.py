@@ -45,9 +45,22 @@ def propagate_labels(
     edges: DataFrame,
     nodes: DataFrame,
     max_iterations: int = 50,
+    store=None,
+    store_every: int = 5,
+    store_prefix: str = "cc_labels",
 ) -> DataFrame:
     """edges[id_a, id_b] + nodes[source_record_id] -> [source_record_id,
-    component] where component = min id reachable."""
+    component] where component = min id reachable.
+
+    Lineage truncation (VERDICT r02 item 5): by default every round is an
+    eager ``localCheckpoint`` — fast, but its blocks live on executors, so
+    on a real cluster an executor loss mid-job restarts the whole fixpoint
+    from round 0. Passing a ``CheckpointStore`` switches to RELIABLE
+    truncation: every ``store_every`` rounds the labels are committed to
+    the store (two alternating table names, so a commit never overwrites
+    the table the current lineage reads from) and the loop resumes from
+    the committed table — bounded recomputation (< store_every rounds) on
+    any failure. Identical components either way (pytest-pinned)."""
     adjacency = (
         edges.select(F.col(f"{_ID}_a").alias("src"), F.col(f"{_ID}_b").alias("dst"))
         .unionByName(
@@ -61,7 +74,7 @@ def propagate_labels(
     labels = edge_nodes.withColumn("component", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         # (1) hash-min step: take the min label among neighbors
         nbr_min = (
             adjacency.join(labels, adjacency.dst == labels.node)
@@ -90,10 +103,15 @@ def propagate_labels(
                 F.col("mid"), F.coalesce(F.col("owner_component"), F.col("mid"))
             ).alias("component"),
         )
-        # eager checkpoint EVERY round: truncates lineage so the convergence
-        # count and the next round both read materialized labels instead of
-        # re-running the whole join cascade
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # truncate lineage EVERY round so the convergence count and the
+        # next round both read materialized labels instead of re-running
+        # the whole join cascade; periodically durable when a store is given
+        if store is not None and (_round + 1) % store_every == 0:
+            tbl = f"{store_prefix}_{(_round // store_every) % 2}"
+            store.write(tbl, new_labels)
+            new_labels = store.read(tbl)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(
             F.col("component") < F.col("old_component")
         ).count()

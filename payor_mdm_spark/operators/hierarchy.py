@@ -208,9 +208,14 @@ def apply_hierarchy_overrides(
 
 
 def tree_paths(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame, max_iterations: int = 50,
+    store=None, store_every: int = 5, store_prefix: str = "tree_state",
 ) -> DataFrame:
     """Resolve every node of a parent-forest to (node, root, depth).
+
+    ``store``: optional CheckpointStore for reliable lineage truncation
+    every ``store_every`` rounds (same contract as
+    clustering.propagate_labels; default stays localCheckpoint).
 
     ``edges``: [parent_master_id, child_master_id]; a child with several
     parents (possible when both inference signals fire) is resolved to its
@@ -244,7 +249,7 @@ def tree_paths(
     state = parent_of.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
     prev_total = state.select(F.sum("depth")).first()[0] or 0
     converged = False
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         up = state.select(
             F.col("node").alias("_n2"), F.col("anc").alias("_a2"),
             F.col("depth").alias("_d2"),
@@ -256,8 +261,13 @@ def tree_paths(
                 F.coalesce(F.col("_a2"), F.col("anc")).alias("anc"),
                 (F.col("depth") + F.coalesce(F.col("_d2"), F.lit(0))).alias("depth"),
             )
-            .localCheckpoint(eager=True)
         )
+        if store is not None and (_round + 1) % store_every == 0:
+            tbl = f"{store_prefix}_{(_round // store_every) % 2}"
+            store.write(tbl, state)
+            state = store.read(tbl)
+        else:
+            state = state.localCheckpoint(eager=True)
         # fixpoint: every node already points at its root, so no depth grew
         total = state.select(F.sum("depth")).first()[0] or 0
         if total == prev_total:

@@ -84,3 +84,32 @@ def test_build_match_groups_semantics(spark):
     import hashlib
 
     assert by_id["a"].match_group_id == hashlib.md5(b"a").hexdigest()
+
+
+def test_store_backed_checkpointing_identical_components(spark, tmp_path):
+    """VERDICT r02 item 5: the reliable (CheckpointStore-committed)
+    lineage-truncation path must produce exactly the local-checkpoint
+    components, and must actually commit labels every store_every rounds
+    (both alternating tables written for a long enough chain)."""
+    import os
+
+    from payor_mdm_spark.sources.catalog import CheckpointStore
+
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(39)]
+    e = spark.createDataFrame(
+        edges, "source_record_id_a string, source_record_id_b string"
+    )
+    n = spark.createDataFrame([(x,) for x in nodes], "source_record_id string")
+
+    local = {r.source_record_id: r.component for r in propagate_labels(e, n).collect()}
+
+    store = CheckpointStore(spark, str(tmp_path / "cc"))
+    durable = {
+        r.source_record_id: r.component
+        for r in propagate_labels(e, n, store=store, store_every=2).collect()
+    }
+    assert durable == local
+    assert set(local.values()) == {"n000"}
+    written = {d for d in os.listdir(tmp_path / "cc") if d.startswith("cc_labels")}
+    assert written == {"cc_labels_0", "cc_labels_1"}  # >= 4 rounds -> both slots

@@ -166,3 +166,21 @@ def test_tree_paths_raises_on_longer_cycle(spark):
     )
     with pytest.raises(RuntimeError, match="cycle"):
         tree_paths(edges, max_iterations=6)
+
+
+def test_tree_paths_store_backed_checkpointing(spark, tmp_path):
+    """Reliable-truncation variant resolves identically to the local path."""
+    from payor_mdm_spark.operators.hierarchy import tree_paths
+    from payor_mdm_spark.sources.catalog import CheckpointStore
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(50)],
+        "parent_master_id string, child_master_id string",
+    )
+    local = {r.node: (r.root, r.depth) for r in tree_paths(edges).collect()}
+    store = CheckpointStore(spark, str(tmp_path / "tp"))
+    durable = {
+        r.node: (r.root, r.depth)
+        for r in tree_paths(edges, store=store, store_every=2).collect()
+    }
+    assert durable == local and local["n050"] == ("n000", 50)
