@@ -2,11 +2,13 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata struct —
 the Spark-side contract (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the codec work itself is stubbed because
-media libraries are not available in this environment. Each stub either
-raises NotImplementedError (``strict=True``) or produces a deterministic
-fake derived from the bytes (default — lets pipelines and tests exercise
-the full plumbing).
+signatures) is real and tested. Container METADATA parsing is genuinely
+implemented from byte layout (PNG/JPEG/GIF headers, RIFF/WAVE chunk walk,
+MPEG audio frame headers, MP4/ISO-BMFF box walk); only the sample/pixel
+DECODE step is stubbed because codec libraries are not available in this
+environment. Each stub either raises NotImplementedError (``strict=True``)
+or produces a deterministic fake derived from the bytes (default — lets
+pipelines and tests exercise the full plumbing).
 
 Operators run through ``mapInPandas`` so each Arrow batch is decoded once
 per executor task, which is the right shape for real decoders too (batch
@@ -274,13 +276,71 @@ def sniff_wav_header(
     return "audio/wav", channels, rate, bits, duration_ms, "ok"
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3): Layer III bitrates in
+# kbps by version, and sample rates by version — index 3 is reserved
+_MP3_BITRATE_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def sniff_mp3_header(
+    b: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, str]:
+    """Parse (mime, channels, sample_rate, bits=None, duration_ms, status)
+    from MPEG audio bytes: skip an optional ID3v2 tag (syncsafe size),
+    find the first frame sync (11 set bits), decode version / layer /
+    bitrate / sample-rate / channel-mode fields, and estimate duration
+    from the remaining payload at the frame's (CBR) bitrate. Pure byte
+    layout, no codec library — same class as the WAV chunk walk."""
+    b = b or b""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        i = 10 + (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+    # scan for frame sync — tolerates leading junk/padding
+    while i + 4 <= len(b):
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            break
+        i += 1
+    if i + 4 > len(b):
+        return None, None, None, None, None, "unknown"
+    version = (b[i + 1] >> 3) & 3          # 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+    layer = (b[i + 1] >> 1) & 3            # 1=Layer III
+    if version == 1 or layer == 0:
+        return "audio/mpeg", None, None, None, None, "truncated"
+    rate_idx = (b[i + 2] >> 2) & 3
+    if rate_idx == 3:
+        return "audio/mpeg", None, None, None, None, "truncated"
+    rate = _MP3_RATES[version][rate_idx]
+    channels = 1 if ((b[i + 3] >> 6) & 3) == 3 else 2
+    duration_ms = None
+    if layer == 1:  # Layer III: bitrate table -> CBR duration estimate
+        br_idx = (b[i + 2] >> 4) & 15
+        table = _MP3_BITRATE_V1_L3 if version == 3 else _MP3_BITRATE_V2_L3
+        if 0 < br_idx < 15 and table[br_idx]:
+            duration_ms = ((len(b) - i) * 8) // table[br_idx]
+    return "audio/mpeg", channels, rate, None, duration_ms, "ok"
+
+
+def sniff_audio_header(
+    b: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, str]:
+    """Container dispatch: RIFF/WAVE chunk walk, else MPEG frame sync."""
+    wav = sniff_wav_header(b)
+    if wav[0] is not None:
+        return wav
+    return sniff_mp3_header(b)
+
+
 def sniff_audio_headers(media: DataFrame) -> DataFrame:
-    """audio rows -> parsed WAV header metadata via mapInPandas (the real
-    half of the audio decode step; sample decode stays stubbed)."""
+    """audio rows -> parsed WAV/MP3 header metadata via mapInPandas (the
+    real half of the audio decode step; sample decode stays stubbed)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = pdf["payload"].map(sniff_wav_header)
+            parsed = pdf["payload"].map(sniff_audio_header)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -295,4 +355,100 @@ def sniff_audio_headers(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("kind") == "audio").mapInPandas(
         fn, AUDIO_HEADER_SCHEMA
+    )
+
+
+VIDEO_HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime_detected", StringType()),
+        StructField("major_brand", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("track_count", IntegerType()),
+        StructField("header_ok", StringType()),
+    ]
+)
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """ISO-BMFF box list at [start, end): yields (type, payload_start,
+    payload_end). Handles 64-bit largesize (size==1) and to-end (size==0)
+    boxes; stops on any malformed size."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr:
+            return
+        yield typ, i + hdr, min(i + size, end)
+        i += size
+
+
+def sniff_mp4_boxes(
+    b: bytes | None,
+) -> tuple[str | None, str | None, int | None, int | None, str]:
+    """Parse (mime, major_brand, duration_ms, track_count, status) from
+    ISO-BMFF (MP4/MOV) bytes: top-level box walk to 'ftyp' (major brand)
+    and 'moov', then into 'mvhd' (timescale + duration, version 0/1
+    layouts) and the 'trak' children. Pure byte layout, no codec library —
+    the same class as the PNG/JPEG/GIF and RIFF/WAVE parsing."""
+    b = b or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None, None, None, None, "unknown"
+    brand = None
+    duration_ms = None
+    tracks = None
+    for typ, ps, pe in _walk_boxes(b, 0, len(b)):
+        if typ == b"ftyp" and pe - ps >= 4:
+            brand = b[ps : ps + 4].decode("ascii", "replace").strip()
+        elif typ == b"moov":
+            tracks = 0
+            for ityp, ips, ipe in _walk_boxes(b, ps, pe):
+                if ityp == b"trak":
+                    tracks += 1
+                elif ityp == b"mvhd" and ipe - ips >= 4:
+                    version = b[ips]
+                    if version == 1 and ipe - ips >= 32:
+                        scale = int.from_bytes(b[ips + 20 : ips + 24], "big")
+                        dur = int.from_bytes(b[ips + 24 : ips + 32], "big")
+                    elif version == 0 and ipe - ips >= 24:
+                        scale = int.from_bytes(b[ips + 12 : ips + 16], "big")
+                        dur = int.from_bytes(b[ips + 16 : ips + 20], "big")
+                    else:
+                        continue
+                    if scale:
+                        duration_ms = (dur * 1000) // scale
+    if duration_ms is None and tracks is None:
+        return "video/mp4", brand, None, None, "truncated"
+    return "video/mp4", brand, duration_ms, tracks, "ok"
+
+
+def sniff_video_headers(media: DataFrame) -> DataFrame:
+    """video rows -> parsed MP4/ISO-BMFF container metadata via
+    mapInPandas (real byte-layout parsing; frame decode stays stubbed)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(sniff_mp4_boxes)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_detected": parsed.map(lambda t: t[0]),
+                    "major_brand": parsed.map(lambda t: t[1]),
+                    "duration_ms": parsed.map(lambda t: t[2]).astype("Int64"),
+                    "track_count": parsed.map(lambda t: t[3]).astype("Int32"),
+                    "header_ok": parsed.map(lambda t: t[4]),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        fn, VIDEO_HEADER_SCHEMA
     )

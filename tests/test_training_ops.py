@@ -539,3 +539,97 @@ class TestWavHeaderSniff:
         assert set(got) == {"a1", "a2"}
         assert (got["a1"].channels, got["a1"].sample_rate, got["a1"].duration_ms) == (1, 8000, 500)
         assert got["a2"].header_ok == "unknown"
+
+
+class TestMp3HeaderSniff:
+    @staticmethod
+    def _mp3(tag_body=10, frame_bytes=1600):
+        # ID3v2 tag (syncsafe size) + one MPEG1 Layer III frame header
+        # (0xFFFB = sync + V1 + L3; 0x90 = 128 kbps @ 44100) + CBR padding
+        id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, tag_body]) + b"\x00" * tag_body
+        return id3 + b"\xff\xfb\x90\x00" + b"\x00" * (frame_bytes - 4)
+
+    def test_parse_and_duration(self):
+        from payor_mdm_spark.operators.multimodal import sniff_mp3_header
+
+        mime, ch, rate, bits, dur, ok = sniff_mp3_header(self._mp3())
+        assert (mime, ch, rate, bits, ok) == ("audio/mpeg", 2, 44100, None, "ok")
+        assert dur == 100  # 1600 bytes * 8 / 128 kbps = 100 ms
+        # mono MPEG2 frame: 0xFFF3 (V2 L3), 0x90 -> 64kbps @ 22050, mode 3
+        mono = b"\xff\xf3\x90\xc0" + b"\x00" * 796
+        assert sniff_mp3_header(mono)[1:3] == (1, 22050)
+        assert sniff_mp3_header(b"no sync here")[5] == "unknown"
+        assert sniff_mp3_header(None)[5] == "unknown"
+
+    def test_audio_dispatch_wav_vs_mp3(self, spark):
+        from payor_mdm_spark.operators.multimodal import (
+            MEDIA_SCHEMA, sniff_audio_headers,
+        )
+
+        meta = {"width": None, "height": None, "duration_ms": None, "sample_rate": None}
+        rows = [
+            ("wav", "audio", "application/octet-stream",
+             bytearray(TestWavHeaderSniff._wav(1, 8000, 8, 4000)), meta),
+            ("mp3", "audio", "application/octet-stream",
+             bytearray(self._mp3()), meta),
+        ]
+        got = {r.media_id: r for r in sniff_audio_headers(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+        assert got["wav"].mime_detected == "audio/wav"
+        assert (got["mp3"].mime_detected, got["mp3"].sample_rate) == ("audio/mpeg", 44100)
+
+
+class TestMp4BoxWalk:
+    @staticmethod
+    def _mp4(timescale=1000, duration=3500, tracks=2, mvhd_version=0):
+        ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+        if mvhd_version == 0:
+            payload = (
+                b"\x00\x00\x00\x00"               # version 0 + flags
+                + b"\x00" * 8                       # ctime + mtime
+                + timescale.to_bytes(4, "big")
+                + duration.to_bytes(4, "big")
+                + b"\x00" * 4                       # pad past the >=24 floor
+            )
+        else:
+            payload = (
+                b"\x01\x00\x00\x00"               # version 1 + flags
+                + b"\x00" * 16                      # 64-bit ctime + mtime
+                + timescale.to_bytes(4, "big")
+                + duration.to_bytes(8, "big")
+            )
+        mvhd = (8 + len(payload)).to_bytes(4, "big") + b"mvhd" + payload
+        trak = (8).to_bytes(4, "big") + b"trak"
+        moov_body = mvhd + trak * tracks
+        moov = (8 + len(moov_body)).to_bytes(4, "big") + b"moov" + moov_body
+        return ftyp + moov
+
+    def test_parse_v0_and_v1(self):
+        from payor_mdm_spark.operators.multimodal import sniff_mp4_boxes
+
+        mime, brand, dur, tracks, ok = sniff_mp4_boxes(self._mp4())
+        assert (mime, brand, dur, tracks, ok) == ("video/mp4", "isom", 3500, 2, "ok")
+        v1 = sniff_mp4_boxes(self._mp4(timescale=600, duration=1200,
+                                       tracks=1, mvhd_version=1))
+        assert (v1[2], v1[3]) == (2000, 1)
+        assert sniff_mp4_boxes(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")[4] == "truncated"
+        assert sniff_mp4_boxes(b"not a video")[4] == "unknown"
+        assert sniff_mp4_boxes(None)[4] == "unknown"
+
+    def test_spark_operator(self, spark):
+        from payor_mdm_spark.operators.multimodal import (
+            MEDIA_SCHEMA, sniff_video_headers,
+        )
+
+        meta = {"width": None, "height": None, "duration_ms": None, "sample_rate": None}
+        rows = [
+            ("v1", "video", "video/mp4", bytearray(self._mp4()), meta),
+            ("v2", "video", "video/mp4", bytearray(b"garbage"), meta),
+            ("a1", "audio", "audio/wav", bytearray(b"RIFF"), meta),
+        ]
+        got = {r.media_id: r for r in sniff_video_headers(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+        assert set(got) == {"v1", "v2"}
+        assert (got["v1"].major_brand, got["v1"].duration_ms,
+                got["v1"].track_count) == ("isom", 3500, 2)
+        assert got["v2"].header_ok == "unknown"
