@@ -72,6 +72,14 @@ FIELD_WEIGHTS: dict[str, float] = {
 # Decision thresholds (match_candidates.sql:33-39).
 AUTO_MATCH_THRESHOLD = 0.85
 REVIEW_THRESHOLD = 0.60
+# Borderline-automatch second factor (precision-tail calibration): FUZZY
+# scores in [AUTO_MATCH_THRESHOLD, BORDERLINE_GEO_CEILING) additionally
+# require NO geographic contradiction (state or city both known and
+# different) to auto-match — they demote to review otherwise. Evidence
+# (tools/analyze_fp.py, n=10k/30k worlds): every cross-entity FUZZY edge
+# sits in this band AND carries a state/city contradiction, while zero
+# same-entity edges do, so the gate removes the FP tail at no recall cost.
+BORDERLINE_GEO_CEILING = 0.93
 
 # Legal-suffix strip pattern for name normalization
 # (stg_crm_payors.sql:17-26; Snowflake 'i' flag -> inline (?i)).

@@ -16,14 +16,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from payor_mdm_spark.config import AUTO_MATCH_THRESHOLD, REVIEW_THRESHOLD
+from payor_mdm_spark.config import (
+    AUTO_MATCH_THRESHOLD,
+    BORDERLINE_GEO_CEILING,
+    REVIEW_THRESHOLD,
+)
 from payor_mdm_spark.functions.textnorm import deterministic_id
 
 
-def auto_decision_col() -> F.Column:
+def auto_decision_col(geo_gated: bool = False) -> F.Column:
+    """``geo_gated``: apply the borderline second factor — a FUZZY score in
+    [AUTO_MATCH_THRESHOLD, BORDERLINE_GEO_CEILING) with a geographic
+    contradiction demotes to review (config.BORDERLINE_GEO_CEILING
+    rationale; build_candidates enables this when the scored frame carries
+    the geo_contradiction column)."""
+    automatch_ok = F.col("overall_score") >= AUTO_MATCH_THRESHOLD
+    if geo_gated:
+        automatch_ok = automatch_ok & (
+            (F.col("overall_score") >= BORDERLINE_GEO_CEILING)
+            | ~F.coalesce(F.col("geo_contradiction"), F.lit(False))
+        )
     return (
         F.when(F.col("match_rule").isin("DET-1", "DET-2", "DET-3"), "auto_match")
-        .when(F.col("overall_score") >= AUTO_MATCH_THRESHOLD, "auto_match")
+        .when(automatch_ok, "auto_match")
         .when(F.col("overall_score") >= REVIEW_THRESHOLD, "review")
         .otherwise("auto_no_match")
     )
@@ -55,7 +70,10 @@ def build_candidates(
     df = scored.withColumn(
         "candidate_id",
         deterministic_id(F.col("source_record_id_a"), F.col("source_record_id_b")),
-    ).withColumn("auto_decision", auto_decision_col())
+    ).withColumn(
+        "auto_decision",
+        auto_decision_col(geo_gated="geo_contradiction" in scored.columns),
+    )
 
     if steward_decisions is not None:
         overlay = steward_decisions.select(

@@ -98,6 +98,13 @@ def score_pairs(pairs: DataFrame, staged: DataFrame,
         "overall_score",
         F.when(F.col("match_rule") != "FUZZY", F.lit(1.0)).otherwise(F.col("composite")),
     )
+    def _mismatch(field: str) -> F.Column:
+        return (
+            F.col(f"{field}_a").isNotNull()
+            & F.col(f"{field}_b").isNotNull()
+            & (F.col(f"{field}_a") != F.col(f"{field}_b"))
+        )
+
     return scored.select(
         "source_record_id_a", "source_record_id_b", "match_rule",
         "matched_block_keys",
@@ -112,4 +119,8 @@ def score_pairs(pairs: DataFrame, staged: DataFrame,
         F.col("score_exact_key_2"),
         "overall_score",
         "winning_name_strategy", "winning_addr_strategy", "strategies_used",
+        # second factor for borderline automatches: an explicit geographic
+        # CONTRADICTION (both sides known, different). Null-safe on purpose —
+        # missing geography is absence of evidence, not a contradiction.
+        (_mismatch("state_code") | _mismatch("city")).alias("geo_contradiction"),
     )

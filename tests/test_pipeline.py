@@ -188,3 +188,37 @@ def test_data_contracts_pass_and_catch_corruption(spark, pipeline_run, tmp_path)
     bad.write("golden", g.unionByName(g.limit(1)))
     bad_checks = {(c.table, c.check): c for c in validate_store(bad)}
     assert not bad_checks[("golden", "master_entity_id unique")].passed
+
+
+def test_borderline_geo_gate(spark):
+    """Precision-tail second factor: a FUZZY score in the borderline band
+    [0.85, 0.93) with a geographic contradiction demotes to review; the
+    same score without one (or any score >= the ceiling, or missing
+    geography) still auto-matches."""
+    from payor_mdm_spark.operators.candidates import build_candidates
+
+    base = {
+        "source_record_id_a": "a", "source_record_id_b": "b",
+        "match_rule": "FUZZY",
+    }
+    rows = [
+        {**base, "overall_score": 0.86, "geo_contradiction": True},
+        {**base, "overall_score": 0.86, "geo_contradiction": False},
+        {**base, "overall_score": 0.86, "geo_contradiction": None},  # unknown geo
+        {**base, "overall_score": 0.95, "geo_contradiction": True},  # above ceiling
+        {**base, "match_rule": "DET-1", "overall_score": 1.0,
+         "geo_contradiction": True},  # DET untouched
+    ]
+    df = spark.createDataFrame(
+        [(r["source_record_id_a"], r["source_record_id_b"], r["match_rule"],
+          r["overall_score"], r["geo_contradiction"]) for r in rows],
+        "source_record_id_a string, source_record_id_b string, "
+        "match_rule string, overall_score double, geo_contradiction boolean",
+    )
+    got = [r.auto_decision for r in build_candidates(df).collect()]
+    assert got == ["review", "auto_match", "auto_match", "auto_match", "auto_match"]
+
+    # without the column the gate is off (legacy scored frames)
+    legacy = df.drop("geo_contradiction")
+    got2 = [r.auto_decision for r in build_candidates(legacy).collect()]
+    assert got2 == ["auto_match"] * 5
