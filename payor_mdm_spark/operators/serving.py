@@ -201,11 +201,13 @@ def borderline_automatch_queue(
 ) -> DataFrame:
     """Audit queue for JUST-above-threshold auto-matches.
 
-    The measured precision loss (BENCH/BASELINE.md §3) comes entirely from
+    The measured precision loss (BENCH/BASELINE.md §3) came entirely from
     FUZZY edges scoring barely above the 0.85 auto-match cut — edges the
-    standard review queue never surfaces because they auto-matched. This
-    queue lists them lowest-score-first so stewards can audit the exact
-    band where wrong merges live; a confirmed_no_match decision on one of
+    standard review queue never surfaces because they auto-matched. Most
+    of that band is now demoted to review automatically by the borderline
+    geo-contradiction gate (candidates.auto_decision_col); this queue
+    remains the audit surface for the borderline automatches that PASSED
+    the gate, lowest-score-first. A confirmed_no_match decision on one of
     them splits the transitive cluster on the next run.
     """
     lo, hi = band
