@@ -417,3 +417,106 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleanup (C4 / RefinedWeb-style line-level passes)
+# ---------------------------------------------------------------------------
+
+LINE_BLOCKLIST: tuple[str, ...] = (
+    "cookie", "javascript", "lorem ipsum", "terms of use",
+)
+
+
+def line_quality_filter_col(
+    text: Column,
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = LINE_BLOCKLIST,
+) -> Column:
+    """Cleaned text: drop lines with fewer than ``min_words`` words or
+    containing a blocklist term (C4's line rules, ported to column math).
+
+    Pure per-row native expression — zero shuffles, scales as a map over
+    the corpus scan. Reassembles surviving lines with '\\n'.
+    """
+
+    def keep(line: Column) -> Column:
+        words = F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+        cond = words >= min_words
+        low = F.lower(line)
+        for term in blocklist:
+            cond = cond & ~low.contains(term)
+        return cond
+
+    return F.array_join(F.filter(F.split(text, "\n"), keep), "\n")
+
+
+def line_quality_filter(
+    docs: DataFrame,
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = LINE_BLOCKLIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, text] -> [id, text (cleaned), n_lines, n_kept]."""
+    lines = F.split(F.col(text_col), "\n")
+    cleaned = line_quality_filter_col(F.col(text_col), min_words, blocklist)
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias(text_col),
+        F.size(lines).alias("n_lines"),
+        (F.size(F.split(cleaned, "\n"))
+         - F.when(cleaned == "", 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (RefinedWeb line dedup).
+
+    A line whose occurrence count across the WHOLE corpus exceeds
+    ``max_count`` is boilerplate (nav bars, cookie banners, share
+    prompts) and is removed from every document; surviving lines
+    reassemble in original order. Output: [id, text, n_lines, n_dropped].
+
+    Scale shape: explode lines once, hash-aggregate the per-line counts
+    (map-side partial combine — the shuffle carries one row per DISTINCT
+    line), equi-join the counts back, and one groupBy(id) reassembly.
+    No window over the corpus, no driver-side state.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    lines = base.select(
+        id_col, "n_lines",
+        F.posexplode(F.split(F.col("_t"), "\n")).alias("_idx", "_line"),
+    )
+    freq = lines.groupBy("_line").agg(F.count(F.lit(1)).alias("_cnt"))
+    kept = lines.join(freq, "_line").filter(F.col("_cnt") <= max_count)
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )

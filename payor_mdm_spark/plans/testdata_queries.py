@@ -1837,3 +1837,111 @@ def events_sessionize(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleanup (C4 / RefinedWeb-style line passes) — the testdata docs are
+# single-line, so the entries synthesize a multi-line corpus with injected
+# boilerplate (same pattern as the dedup entries' synthesized duplicates).
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_line_dedup",
+    """
+    with corpus as (
+      select doc_id,
+        text || chr(10) || 'share this article' || chr(10)
+             || 'cookie banner accept all'
+             || (case when doc_id % 5 = 0
+                 then chr(10) || 'rare line ' || doc_id else '' end) as text
+      from documents
+    ), base as (
+      select doc_id, len(string_split(text, chr(10))) as n_lines from corpus
+    ), lines as (
+      select doc_id, unnest(ls) as line, unnest(range(1, len(ls) + 1)) as idx
+      from (select doc_id, string_split(text, chr(10)) as ls from corpus) t
+    ), freq as (
+      select line, count(*) as cnt from lines group by line
+    ), kept as (
+      select l.doc_id, l.line, l.idx
+      from lines l join freq f on f.line = l.line where f.cnt <= 2
+    ), re as (
+      select doc_id, string_agg(line, chr(10) order by idx) as clean,
+             count(*) as kept_n
+      from kept group by doc_id
+    )
+    select b.doc_id, coalesce(re.clean, '') as text, b.n_lines,
+           b.n_lines - coalesce(re.kept_n, 0) as n_dropped
+    from base b left join re on re.doc_id = b.doc_id
+    """,
+)
+def corpus_line_dedup(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshare this article\ncookie banner accept all"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("\nrare line "), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = line_dedup(corpus, max_count=2)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+@query(
+    "corpus_line_quality",
+    """
+    with corpus as (
+      select doc_id,
+        text || chr(10) || 'ok' || chr(10)
+             || 'please accept our cookie policy' || chr(10)
+             || 'this line stays here fine' || chr(10) || 'short no' as text
+      from documents
+    ), split as (
+      select doc_id, string_split(text, chr(10)) as ls from corpus
+    ), filt as (
+      select doc_id, len(ls) as n_lines,
+        list_filter(ls, l ->
+          len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+          and not contains(lower(l), 'cookie')
+          and not contains(lower(l), 'javascript')
+          and not contains(lower(l), 'lorem ipsum')
+          and not contains(lower(l), 'terms of use')
+        ) as kept
+      from split
+    )
+    select doc_id, array_to_string(kept, chr(10)) as text,
+           n_lines, len(kept) as n_kept
+    from filt
+    """,
+)
+def corpus_line_quality(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import line_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\nok\nplease accept our cookie policy"
+                "\nthis line stays here fine\nshort no"
+            ),
+        ).alias("text"),
+    )
+    out = line_quality_filter(corpus)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )

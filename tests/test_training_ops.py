@@ -633,3 +633,50 @@ class TestMp4BoxWalk:
         assert (got["v1"].major_brand, got["v1"].duration_ms,
                 got["v1"].track_count) == ("isom", 3500, 2)
         assert got["v2"].header_ok == "unknown"
+
+
+class TestCorpusLineCleanup:
+    def test_line_dedup_boilerplate_removed_order_kept(self, spark):
+        from payor_mdm_spark.operators.text_analysis import line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha unique\nshared banner\nbeta unique"),
+                (2, "gamma unique\nshared banner"),
+                (3, "shared banner\ndelta unique"),
+                (4, "shared banner"),  # every line dropped -> empty doc
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in line_dedup(docs, max_count=2).collect()}
+        assert got[1].text == "alpha unique\nbeta unique"  # order preserved
+        assert got[2].text == "gamma unique"
+        assert got[3].text == "delta unique"
+        assert got[4].text == "" and got[4].n_dropped == 1
+        assert (got[1].n_lines, got[1].n_dropped) == (3, 1)
+
+    def test_line_dedup_within_doc_duplicates_count(self, spark):
+        from payor_mdm_spark.operators.text_analysis import line_dedup
+
+        # the repeated line occurs 3x in ONE doc -> corpus count 3 > 2
+        docs = spark.createDataFrame(
+            [(1, "echo echo echo line\necho echo echo line\necho echo echo line\nkeep this line")],
+            "doc_id long, text string",
+        )
+        got = line_dedup(docs, max_count=2).collect()[0]
+        assert got.text == "keep this line" and got.n_dropped == 3
+
+    def test_line_quality_rules(self, spark):
+        from payor_mdm_spark.operators.text_analysis import line_quality_filter
+
+        docs = spark.createDataFrame(
+            [(1, "a good long line here\nok\nAccept COOKIE policy now\ntwo words")],
+            "doc_id long, text string",
+        )
+        got = line_quality_filter(docs).collect()[0]
+        assert got.text == "a good long line here"
+        assert (got.n_lines, got.n_kept) == (4, 1)
+        # empty result when nothing survives
+        empty = spark.createDataFrame([(2, "no\nok")], "doc_id long, text string")
+        got2 = line_quality_filter(empty).collect()[0]
+        assert got2.text == "" and got2.n_kept == 0
