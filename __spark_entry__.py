@@ -8,10 +8,12 @@
 ``queries``   — one entry per implemented operator family from SURVEY §2
                 (+ the training-data suite), runnable over the driver's
                 testdata tables.
-``oracle_sql``— DuckDB-executable twins for every SQL-expressible query;
-                xxhash64-seeded kernels (MinHash/SimHash/hyperplane LSH,
-                fingerprints) are rows-only by design and covered by pytest
-                instead (tests/).
+``oracle_sql``— DuckDB-executable twins for EVERY query (51/51): hash
+                kernels run md5-derived modes in their query entries so
+                the twins reproduce them exactly (MinHash-LSH stage-by-
+                stage, SimHash votes, fingerprints, LSH hyperplane
+                literals, IVF's hash-sampled quantizer); the xxhash64
+                fast paths stay in the blocking layer, pinned by pytest.
 """
 
 from __future__ import annotations

@@ -72,6 +72,27 @@ HEADLINE = [
 ]
 
 
+def run_minhash_production(spark, sf_dir):
+    """The r1/r2 headline MinHash configuration: the PRODUCTION xxhash64
+    hash mode over the same synthesized corpus. The queries() entry now
+    runs md5_60bit mode so DuckDB can value-check every stage — a
+    deliberate hash-speed-for-checkability trade confined to the oracle
+    surface; this keeps the production kernel's round-over-round number
+    comparable (bench key: dedup_minhash_lsh)."""
+    import pyspark.sql.functions as F
+
+    from payor_mdm_spark.operators.dedup import minhash_dedup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    return minhash_dedup_pairs(corpus, jaccard_threshold=0.8)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -94,11 +115,16 @@ def main() -> None:
 
     query_secs: dict[str, float] = {}
     for name in HEADLINE:
-        fn = Q[name]
+        # dedup_minhash_lsh: production xxhash64 mode (round-comparable);
+        # the md5 oracle mode is timed separately below
+        fn = run_minhash_production if name == "dedup_minhash_lsh" else Q[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         query_secs[name] = round(time.time() - t0, 3)
         log(f"query {name}: {n} rows in {query_secs[name]}s")
+    t0 = time.time()
+    Q["dedup_minhash_lsh"](spark, sf_dir).count()
+    query_secs["dedup_minhash_lsh_md5_oracle_mode"] = round(time.time() - t0, 3)
     total = time.time() - t_all
 
     out = {
