@@ -520,3 +520,69 @@ def line_dedup(
             ),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-LM quality signal: per-document cross-entropy
+    under an add-k-smoothed bigram model TRAINED ON THE CORPUS ITSELF.
+
+    score = avg over the doc's bigrams of -ln((C(w1 w2) + k) /
+    (C(w1) + k * V)); low = fluent/common phrasing, high = gibberish or
+    out-of-domain — the standard perplexity filter for pretraining data,
+    without an external LM artifact.
+
+    Scale shape: two hash aggregations (bigram counts, unigram counts —
+    map-side partial combine, shuffle one row per DISTINCT n-gram), two
+    equi joins back, one per-doc aggregation. V (vocab size) is a scalar
+    aggregate computed once. No windows, no driver-side loops.
+    Output: [id, n_bigrams, cross_entropy] (NULL entropy for docs with
+    fewer than two tokens).
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ).alias("bg"),
+            ),
+        ),
+    ).otherwise(F.array())
+    b = docs.select(F.col(id_col), F.explode(bigrams).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("_w1"), F.col("_p.bg").alias("_bg")
+    )
+    u = docs.select(F.explode(tokens_col(F.col(text_col))).alias("_w"))
+    uc = u.groupBy("_w").agg(F.count(F.lit(1)).alias("_uc"))
+    bc = b.groupBy("_bg").agg(F.count(F.lit(1)).alias("_bc"))
+    vocab = u.select("_w").distinct().count()
+    neg_ln_p = -F.log(
+        (F.col("_bc") + F.lit(k))
+        / (F.col("_uc") + F.lit(k) * F.lit(float(vocab)))
+    )
+    per_doc = (
+        b.join(bc, "_bg")
+        .join(uc, F.col("_w1") == F.col("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(neg_ln_p), 4).alias("cross_entropy"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "cross_entropy",
+        )
+    )

@@ -1945,3 +1945,47 @@ def corpus_line_quality(spark, sf_dir):
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_kept").cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "text_bigram_lm",
+    """
+    with toks as (
+      select doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') as ts
+      from documents
+    ), uni as (
+      select unnest(ts) as w from toks
+    ), uc as (
+      select w, count(*) as uc from uni group by w
+    ), v as (
+      select count(distinct w) as v from uni
+    ), bg as (
+      select doc_id, unnest(list_transform(range(1, len(ts)),
+                     i -> struct_pack(w1 := ts[i], g := ts[i] || ' ' || ts[i+1]))) as p
+      from toks where len(ts) >= 2
+    ), bc as (
+      select p.g as g, count(*) as bc from bg group by p.g
+    ), scored as (
+      select b.doc_id, count(*) as n_bigrams,
+        round(avg(-ln((bc.bc + 0.5) / (uc.uc + 0.5 * (select v from v)))), 4)
+          as cross_entropy
+      from bg b
+      join bc on bc.g = b.p.g
+      join uc on uc.w = b.p.w1
+      group by b.doc_id
+    )
+    select d.doc_id, coalesce(s.n_bigrams, 0) as n_bigrams, s.cross_entropy
+    from (select distinct doc_id from documents) d
+    left join scored s on s.doc_id = d.doc_id
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bigram_lm_scores(d)
+    return out.select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "cross_entropy",
+    )

@@ -680,3 +680,37 @@ class TestCorpusLineCleanup:
         empty = spark.createDataFrame([(2, "no\nok")], "doc_id long, text string")
         got2 = line_quality_filter(empty).collect()[0]
         assert got2.text == "" and got2.n_kept == 0
+
+
+class TestBigramLm:
+    def test_common_phrasing_scores_lower(self, spark):
+        from payor_mdm_spark.operators.text_analysis import bigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat"), (2, "the cat sat"), (3, "the cat sat"),
+                (4, "zq xv qqj"),     # gibberish: every bigram unique
+                (5, "solo"),          # < 2 tokens -> NULL entropy
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+        assert got[1].cross_entropy == got[2].cross_entropy
+        assert got[1].cross_entropy < got[4].cross_entropy  # common beats rare
+        assert got[5].n_bigrams == 0 and got[5].cross_entropy is None
+        assert got[1].n_bigrams == 2
+
+    def test_add_k_smoothing_math(self, spark):
+        import math
+
+        from payor_mdm_spark.operators.text_analysis import bigram_lm_scores
+
+        # corpus: one doc "a b a b" -> tokens a,b; V=2; C(a b)=2, C(b a)=1,
+        # C(a)=2, C(b)=2; k=0.5
+        docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        got = bigram_lm_scores(docs).collect()[0]
+        expect = -(
+            math.log((2 + 0.5) / (2 + 0.5 * 2)) * 2      # 'a b' twice
+            + math.log((1 + 0.5) / (2 + 0.5 * 2))        # 'b a' once
+        ) / 3
+        assert abs(got.cross_entropy - round(expect, 4)) < 1e-9
