@@ -252,6 +252,15 @@ closer the end-to-end efficiency tracks the kernel efficiency; at the
 100 TB design point the fixed terms vanish by 3-4 orders of magnitude.
 The per-stage table confirms no stage grows with core count (no
 shuffle-amplification pathologies).
+
+Blocking-pass audit at the 100k point (telemetry.pair_yield_by_pass over
+the committed blocking table): the reference-parity name+state key
+proposes ~70% of the candidates but 0 exclusive true pairs in this
+world (zip3+name4, sorted-neighborhood and MinHash-LSH each carry
+exclusive recall; removing any loses pairs). The volume is inherent to
+the reference's 6-char-prefix key on templated payor names — hot blocks
+are already salted at MAX_BLOCK_SIZE, and the DET/FUZZY scoring split
+keeps the redundant candidates on the cheap native branch.
 """)
         f1_path = "/root/repo/BENCH/f1_sweep.json"
         if os.path.exists(f1_path):
