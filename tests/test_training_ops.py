@@ -714,3 +714,64 @@ class TestBigramLm:
             + math.log((1 + 0.5) / (2 + 0.5 * 2))        # 'b a' once
         ) / 3
         assert abs(got.cross_entropy - round(expect, 4)) < 1e-9
+
+
+class TestPrefixSumEquivalence:
+    def test_matches_naive_window_on_skewed_random_input(self, spark):
+        """_partitioned_prefix_sum must equal the single-window cumsum for
+        ANY chunking — exercised on a seeded skewed input (one dominant
+        source) across a partition count that forces multi-chunk sources."""
+        import random
+
+        from pyspark.sql.window import Window
+
+        from payor_mdm_spark.operators.text_analysis import (
+            _partitioned_prefix_sum,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (i, "hot" if rng.random() < 0.8 else f"s{rng.randint(0, 3)}",
+             rng.randint(0, 50))
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "id long, src string, v long")
+        got = {
+            r.id: r.run
+            for r in _partitioned_prefix_sum(
+                df, "src", [F.col("id").asc()], "v", "run"
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("src").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r.id: r.run
+            for r in df.select("id", F.sum("v").over(w).alias("run")).collect()
+        }
+        assert got == want
+
+
+class TestLineDedupInvariants:
+    def test_high_cap_is_identity(self, spark):
+        from payor_mdm_spark.operators.text_analysis import line_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "x\ny\nx"), (2, "x"), (3, "a\nb")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in line_dedup(docs, max_count=10**6).collect()}
+        assert got[1].text == "x\ny\nx" and got[1].n_dropped == 0
+        assert got[2].text == "x" and got[3].text == "a\nb"
+
+    def test_partitioning_invariance(self, spark):
+        from payor_mdm_spark.operators.text_analysis import line_dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"unique {i}\nshared boiler line") for i in range(40)],
+            "doc_id long, text string",
+        )
+        one = {r.doc_id: r.text for r in line_dedup(docs.coalesce(1)).collect()}
+        many = {r.doc_id: r.text for r in line_dedup(docs.repartition(16)).collect()}
+        assert one == many
+        assert all(t == f"unique {i}" for i, t in one.items())
