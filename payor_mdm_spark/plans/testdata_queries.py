@@ -1017,8 +1017,11 @@ def dedup_simhash(spark, sf_dir):
     "dedup_cluster_keepers",
     """
     -- chain edges (i, i+125) over doc_ids 0..499 -> components
-    -- {i, i+125, i+250, i+375}: ground-truth root = doc_id % 125
-    select doc_id, doc_id % 125 as cluster_root, doc_id < 125 as is_keeper
+    -- {i, i+125, i+250, i+375}: ground-truth root = doc_id % 125.
+    -- docs beyond 499 (larger sf) are singletons: their own root/keeper
+    select doc_id,
+      case when doc_id <= 499 then doc_id % 125 else doc_id end as cluster_root,
+      case when doc_id <= 499 then doc_id < 125 else true end as is_keeper
     from documents
     """,
 )
