@@ -586,3 +586,73 @@ def bigram_lm_scores(
             "cross_entropy",
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by content hash.
+
+    Row kept iff md5_60bit(salt || id) % 1e6 < fraction(stratum) * 1e6 —
+    the downsampling knob for mixture construction at the 100 TB point:
+    no RNG state to ship, membership never changes as the corpus grows
+    (only new rows get assigned), reproducible in ANSI SQL, and the
+    filter is a pure map over the scan (zero shuffles). Strata missing
+    from ``fractions`` are dropped (fraction 0.0).
+    """
+    from payor_mdm_spark.functions.textnorm import md5_60bit
+
+    frac = F.create_map(
+        *[x for s, f in sorted(fractions.items()) for x in (F.lit(s), F.lit(float(f)))]
+    )
+    bucket = F.pmod(
+        md5_60bit(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1_000_000,
+    )
+    return docs.filter(
+        bucket < F.coalesce(frac[F.col(key_col)], F.lit(0.0)) * 1_000_000
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams with document frequency —
+    the discovery pass that feeds boilerplate caps (line_dedup max_count,
+    contamination max_df): the top entries ARE the corpus boilerplate.
+
+    Scale shape: one explode + one hash aggregation keyed on the n-gram
+    (map-side partial combine); ORDER BY LIMIT plans as a distributed
+    TakeOrdered (per-partition partial top-k, never a global sort of the
+    distinct-gram set), and the rank window runs over only the k
+    surviving rows. Output: [gram, occurrences, doc_freq, rank] with
+    deterministic (count desc, gram asc) ordering.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+    g = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    agg = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    top = agg.orderBy(F.col("occurrences").desc(), F.col("gram").asc()).limit(k)
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("gram").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "gram", "occurrences", "doc_freq", "rank"
+    )

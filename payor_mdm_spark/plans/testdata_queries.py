@@ -1992,3 +1992,50 @@ def text_bigram_lm(spark, sf_dir):
         "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"),
         "cross_entropy",
     )
+
+
+@query(
+    "corpus_stratified_sample",
+    """
+    select doc_id, source from documents
+    where ('0x' || substr(md5('sample-v1' || doc_id), 1, 15))::BIGINT % 1000000
+          < (case source when 'src0' then 0.5 when 'src1' then 0.25
+             else 0.0 end) * 1000000
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, {"src0": 0.5, "src1": 0.25})
+    return out.select("doc_id", "source")
+
+
+@query(
+    "corpus_top_ngrams",
+    """
+    with toks as (
+      select doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') as ts
+      from documents
+    ), grams as (
+      select doc_id,
+        unnest(list_transform(range(1, len(ts) - 3),
+               i -> array_to_string(ts[i:i+4], ' '))) as gram
+      from toks where len(ts) >= 5
+    ), agg as (
+      select gram, count(*) as occurrences, count(distinct doc_id) as doc_freq
+      from grams group by gram
+    )
+    select gram, occurrences, doc_freq,
+           cast(row_number() over (order by occurrences desc, gram asc) as int)
+             as rank
+    from agg
+    qualify rank <= 20
+    """,
+)
+def corpus_top_ngrams(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, n=5, k=20)

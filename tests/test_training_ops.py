@@ -775,3 +775,43 @@ class TestLineDedupInvariants:
         many = {r.doc_id: r.text for r in line_dedup(docs.repartition(16)).collect()}
         assert one == many
         assert all(t == f"unique {i}" for i, t in one.items())
+
+
+class TestSamplingAndNgrams:
+    def test_stratified_sample_deterministic_and_no_migration(self, spark):
+        from payor_mdm_spark.operators.text_analysis import stratified_sample
+
+        docs = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+            "doc_id long, source string",
+        )
+        once = {r.doc_id for r in stratified_sample(docs, {"a": 0.5}).collect()}
+        again = {r.doc_id for r in stratified_sample(docs, {"a": 0.5}).collect()}
+        assert once == again  # deterministic
+        assert all(i % 2 == 0 for i in once)  # stratum 'b' has fraction 0
+        assert 60 <= len(once) <= 140  # ~50% of 200
+        # growth never migrates membership, only assigns new rows
+        grown = docs.unionByName(
+            spark.createDataFrame([(1000 + i, "a") for i in range(100)],
+                                  "doc_id long, source string")
+        )
+        grown_keep = {r.doc_id for r in stratified_sample(grown, {"a": 0.5}).collect()}
+        assert once == {i for i in grown_keep if i < 1000}
+
+    def test_top_ngrams_counts_and_order(self, spark):
+        from payor_mdm_spark.operators.text_analysis import top_ngrams
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps somewhere else entirely today"),
+                (3, "tiny"),
+            ],
+            "doc_id long, text string",
+        )
+        got = top_ngrams(docs, n=5, k=3).collect()
+        assert got[0].gram == "the quick brown fox jumps"
+        assert got[0].occurrences == 2 and got[0].doc_freq == 2
+        assert [r.rank for r in got] == [1, 2, 3]
+        # deterministic tie-break: count desc then gram asc
+        assert got[1].gram < got[2].gram
