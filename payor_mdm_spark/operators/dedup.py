@@ -125,6 +125,29 @@ def minhash_dedup_pairs(
         text_col, num_hashes, shingle_k, hash_mode=hash_mode,
     ).select("source_record_id", "_sig").localCheckpoint(eager=True)
 
+    members = _minhash_band_members(base, bands, rows_per_band, hash_mode)
+    cands = (
+        _pairs_within_blocks(members, ["_band", "_bucket"], "minhash", max_block_size)
+        .select(
+            F.col("source_record_id_a").alias("id_a"),
+            F.col("source_record_id_b").alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    survivors = _minhash_estimator_prune(
+        cands, base, num_hashes, jaccard_threshold
+    ).localCheckpoint(eager=True)
+    return _minhash_exact_verify(
+        survivors, docs, id_col, text_col, shingle_k, jaccard_threshold
+    )
+
+
+def _minhash_band_members(
+    sig_df: DataFrame, bands: int, rows_per_band: int, hash_mode: str
+) -> DataFrame:
+    """[source_record_id, _sig] -> [_band, _bucket, source_record_id]."""
+
     def _bucket(b: int) -> Column:
         rows = [
             F.element_at("_sig", b * rows_per_band + r + 1)
@@ -141,48 +164,47 @@ def minhash_dedup_pairs(
             for b in range(bands)
         ]
     )
-    members = base.select(
+    return sig_df.select(
         F.explode(band_structs).alias("_b"), F.col("source_record_id")
     ).select(
         F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket"),
         "source_record_id",
     )
-    cands = (
-        _pairs_within_blocks(members, ["_band", "_bucket"], "minhash", max_block_size)
-        .select(
-            F.col("source_record_id_a").alias("id_a"),
-            F.col("source_record_id_b").alias("id_b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # two-stage verification:
-    # (1) cheap signature-agreement estimate (64 int comparisons/pair) —
-    #     an unbiased MinHash estimator of Jaccard — prunes the candidate
-    #     set well below the target threshold;
-    # (2) exact char-shingle Jaccard (the expensive ~O(|doc|) set ops) only
-    #     for pairs whose estimate is within reach of the threshold.
-    sa = base.select(F.col("source_record_id").alias("id_a"), F.col("_sig").alias("_siga"))
-    sb = base.select(F.col("source_record_id").alias("id_b"), F.col("_sig").alias("_sigb"))
+
+
+def _minhash_estimator_prune(
+    cands: DataFrame, sig_df: DataFrame, num_hashes: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Stage-1 verification: cheap signature-agreement estimate (num_hashes
+    int comparisons/pair) — an unbiased MinHash estimator of Jaccard —
+    prunes the candidate set ~3 sigma below the target threshold."""
+    sa = sig_df.select(F.col("source_record_id").alias("id_a"), F.col("_sig").alias("_siga"))
+    sb = sig_df.select(F.col("source_record_id").alias("id_b"), F.col("_sig").alias("_sigb"))
     agree = F.size(
         F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda v: v)
     ).cast("double") / F.lit(float(num_hashes))
-    margin = 1.5 / (num_hashes ** 0.5)  # ~3 sigma of the estimator (sd <= 0.5/sqrt(n))
-    survivors = (
+    margin = 1.5 / (num_hashes ** 0.5)  # ~3 sigma (sd <= 0.5/sqrt(n))
+    return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("_est", agree)
         .filter(F.col("_est") >= jaccard_threshold - margin)
         .select("id_a", "id_b")
-    ).localCheckpoint(eager=True)
+    )
 
+
+def _minhash_exact_verify(
+    survivors: DataFrame, docs: DataFrame, id_col: str, text_col: str,
+    shingle_k: int, jaccard_threshold: float,
+) -> DataFrame:
+    """Stage-2 verification: exact char-shingle Jaccard, computed ONLY for
+    estimator survivors. Semi-join before the (interpreted,
+    allocation-heavy) shingle materialization: at the 100 TB point this is
+    the difference between shingling the verification set and re-shingling
+    the whole corpus."""
     from payor_mdm_spark.operators.blocking import _shingles
 
-    # exact verification only needs shingle sets for docs that SURVIVED the
-    # estimator prune — a tiny fraction of the corpus. Semi-join before the
-    # (interpreted, allocation-heavy) shingle materialization: at the 100 TB
-    # point this is the difference between shingling the verification set
-    # and re-shingling the whole corpus.
     needed = (
         survivors.select(F.col("id_a").alias(id_col))
         .unionByName(survivors.select(F.col("id_b").alias(id_col)))
@@ -474,3 +496,118 @@ def cross_corpus_contamination(
         .join(exact.select("test_id", "train_id"), ["test_id", "train_id"], "left_anti")
     )
     return exact.unionByName(near.select("test_id", "train_id", "method", "jaccard"))
+
+
+def _pairs_new_vs_all(
+    members_new: DataFrame, members_all: DataFrame, key_cols: list[str],
+    max_block_size: int,
+) -> DataFrame:
+    """Asymmetric block join: candidate pairs with at least one NEW side.
+
+    Same block-count + hot-block salting construction as
+    _pairs_within_blocks (counts over ALL members, per-member salt =
+    pmod(xxhash64(id), ceil(cnt/cap))), but only the new-member side
+    drives the join — old x old buckets are never expanded, so the work
+    scales with the batch, not the corpus.
+    """
+    counts = members_all.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_blk_cnt"))
+    hot = counts.filter(F.col("_blk_cnt") > max_block_size)
+
+    def salted(m: DataFrame) -> DataFrame:
+        return m.join(F.broadcast(hot), key_cols, "left").withColumn(
+            "_salt",
+            F.when(F.col("_blk_cnt").isNull(), F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col("source_record_id")),
+                    F.ceil(F.col("_blk_cnt") / F.lit(max_block_size)).cast("long"),
+                ).cast("int")
+            ),
+        ).drop("_blk_cnt")
+
+    join_keys = key_cols + ["_salt"]
+    a = salted(members_new).select(
+        *[F.col(c) for c in join_keys], F.col("source_record_id").alias("_na")
+    )
+    b = salted(members_all).select(
+        *[F.col(c) for c in join_keys], F.col("source_record_id").alias("_nb")
+    )
+    return (
+        a.join(b, join_keys)
+        .filter(F.col("_na") != F.col("_nb"))
+        .select(
+            F.least("_na", "_nb").alias("id_a"),
+            F.greatest("_na", "_nb").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    store=None,
+    table: str = "minhash_signatures",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_block_size: int = 500,
+    hash_mode: str = "xxhash64",
+    update_store: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs INVOLVING the new batch only.
+
+    The daily-increment scale path: a crawl delta is deduped against a
+    100 TB corpus without re-banding or re-pairing the old corpus —
+
+    * old signatures load from ``store``'s signature table when present
+      (written by a previous call; ~num_hashes*8 bytes/doc, tiny next to
+      the text) and are recomputed from ``old_docs`` otherwise;
+    * candidate generation joins NEW band members against ALL members
+      (_pairs_new_vs_all) — old x old buckets are never expanded;
+    * estimator prune and exact verify run only on the delta's candidate
+      pairs; exact verification semi-joins text for just the survivors.
+
+    All hashes are deterministic, so with no hot blocks the result equals
+    batch minhash_dedup_pairs(old ∪ new) minus minhash_dedup_pairs(old)
+    exactly (pytest-pinned). When a block IS hot, salting assignments
+    depend on the block count at pairing time, so incremental and batch
+    may bound work differently on that block — the same documented recall
+    trade the batch operator makes.
+
+    ``update_store``: commit the merged signature table back to ``store``
+    so the next delta skips old-corpus signature computation entirely.
+    """
+    rows_per_band = num_hashes // bands
+    new_base = _with_signature(
+        new_docs.select(F.col(id_col).alias("source_record_id"), F.col(text_col)),
+        text_col, num_hashes, shingle_k, hash_mode=hash_mode,
+    ).select("source_record_id", "_sig").localCheckpoint(eager=True)
+    if store is not None and store.exists(table):
+        old_base = store.read(table)
+    else:
+        old_base = _with_signature(
+            old_docs.select(F.col(id_col).alias("source_record_id"), F.col(text_col)),
+            text_col, num_hashes, shingle_k, hash_mode=hash_mode,
+        ).select("source_record_id", "_sig").localCheckpoint(eager=True)
+    all_base = old_base.unionByName(new_base)
+
+    members_new = _minhash_band_members(new_base, bands, rows_per_band, hash_mode)
+    members_all = _minhash_band_members(all_base, bands, rows_per_band, hash_mode)
+    cands = _pairs_new_vs_all(
+        members_new, members_all, ["_band", "_bucket"], max_block_size
+    ).localCheckpoint(eager=True)
+    survivors = _minhash_estimator_prune(
+        cands, all_base, num_hashes, jaccard_threshold
+    ).localCheckpoint(eager=True)
+    all_docs = old_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col))
+    )
+    pairs = _minhash_exact_verify(
+        survivors, all_docs, id_col, text_col, shingle_k, jaccard_threshold
+    )
+    if store is not None and update_store:
+        store.write(table, all_base)
+    return pairs

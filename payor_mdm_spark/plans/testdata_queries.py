@@ -2039,3 +2039,76 @@ def corpus_top_ngrams(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return top_ngrams(d, n=5, k=20)
+
+
+# incremental MinHash in md5 hash mode: with no hot blocks the delta run
+# equals the batch construction filtered to pairs with >= 1 NEW side
+# (new ids are all >= 400: the 400..499 split plus the +1000000 tail
+# variants), so the twin is the batch twin plus that filter.
+@query(
+    "dedup_minhash_incremental",
+    """
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000 as doc_id, text || ' tail' as text
+      from documents where doc_id % 7 = 0
+    ), sh as (
+      select doc_id,
+        case when len(u) >= 5
+          then list_distinct(list_transform(range(1, len(u) - 3),
+                                            i -> substr(u, i, 5)))
+          else [u] end as g
+      from (select doc_id, upper(text) as u from corpus) t
+    ), sig as (
+      select doc_id, j,
+        min(('0x' || substr(md5(s || '#' || j), 1, 15))::BIGINT) as h
+      from (select doc_id, unnest(g) as s from sh) x
+      cross join range(0, 64) t(j)
+      group by doc_id, j
+    ), buckets as (
+      select doc_id, (j // 4)::INTEGER as band,
+        string_agg(h::VARCHAR, '|' order by j) as bucket
+      from sig group by doc_id, (j // 4)
+    ), cand as (
+      select distinct a.doc_id as id_a, b.doc_id as id_b
+      from buckets a
+      join buckets b
+        on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+      where a.doc_id >= 400 or b.doc_id >= 400
+    ), sigv as (
+      select doc_id, list(h order by j) as sig from sig group by doc_id
+    ), surv as (
+      select c.id_a, c.id_b
+      from cand c
+      join sigv sa on sa.doc_id = c.id_a
+      join sigv sb on sb.doc_id = c.id_b
+      where len(list_filter(range(0, 64), i -> sa.sig[i+1] = sb.sig[i+1]))
+            / 64.0 >= 0.6125
+    )
+    select s.id_a, s.id_b,
+      round(cast(len(list_intersect(ga.g, gb.g)) as double)
+            / len(list_distinct(list_concat(ga.g, gb.g))), 4) as jaccard
+    from surv s
+    join sh ga on ga.doc_id = s.id_a
+    join sh gb on gb.doc_id = s.id_b
+    where cast(len(list_intersect(ga.g, gb.g)) as double)
+          / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.8
+    """,
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    from payor_mdm_spark.operators.dedup import minhash_dedup_incremental
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400).unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    pairs = minhash_dedup_incremental(
+        old, new, jaccard_threshold=0.8, max_block_size=1_000_000,
+        hash_mode="md5",
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 4))

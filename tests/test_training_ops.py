@@ -815,3 +815,84 @@ class TestSamplingAndNgrams:
         assert [r.rank for r in got] == [1, 2, 3]
         # deterministic tie-break: count desc then gram asc
         assert got[1].gram < got[2].gram
+
+
+class TestIncrementalMinhash:
+    def _corpora(self, spark):
+        old = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog again and again"),
+                (2, "the quick brown fox jumps over the lazy dog again and again"),
+                (3, "completely unrelated text about spark query engines and shuffles"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog again and again!"),
+                (11, "completely unrelated text about spark query engines and shuffles"),
+                (12, "a brand new document that matches nothing else at all"),
+            ],
+            "doc_id long, text string",
+        )
+        return old, new
+
+    def test_equals_batch_delta(self, spark):
+        from payor_mdm_spark.operators.dedup import (
+            minhash_dedup_incremental, minhash_dedup_pairs,
+        )
+
+        old, new = self._corpora(spark)
+        full = {
+            (r.id_a, r.id_b)
+            for r in minhash_dedup_pairs(
+                old.unionByName(new), jaccard_threshold=0.5
+            ).collect()
+        }
+        old_only = {
+            (r.id_a, r.id_b)
+            for r in minhash_dedup_pairs(old, jaccard_threshold=0.5).collect()
+        }
+        inc = {
+            (r.id_a, r.id_b)
+            for r in minhash_dedup_incremental(
+                old, new, jaccard_threshold=0.5
+            ).collect()
+        }
+        assert inc == full - old_only
+        assert (2, 11) not in inc and (1, 2) not in inc  # old x old excluded
+        assert (3, 11) in inc  # old x new found
+        assert all(10 in p or 11 in p or 12 in p for p in inc)
+
+    def test_signature_store_roundtrip(self, spark, tmp_path):
+        from payor_mdm_spark.operators.dedup import minhash_dedup_incremental
+        from payor_mdm_spark.sources.catalog import CheckpointStore
+
+        old, new = self._corpora(spark)
+        store = CheckpointStore(spark, str(tmp_path / "sigs"))
+        # first call: computes old signatures from text, commits old+new
+        first = {
+            (r.id_a, r.id_b)
+            for r in minhash_dedup_incremental(
+                old, new, store=store, jaccard_threshold=0.5
+            ).collect()
+        }
+        assert store.exists("minhash_signatures")
+        assert store.read("minhash_signatures").count() == 6
+        # second delta: old signatures come FROM THE STORE (old text no
+        # longer needed for signatures, only for verification rehydration)
+        newer = spark.createDataFrame(
+            [(20, "a brand new document that matches nothing else at all!")],
+            "doc_id long, text string",
+        )
+        prev_all = old.unionByName(new)
+        second = {
+            (r.id_a, r.id_b)
+            for r in minhash_dedup_incremental(
+                prev_all, newer, store=store, jaccard_threshold=0.5
+            ).collect()
+        }
+        assert (12, 20) in second  # near-dup of a doc from the prior delta
+        assert all(20 in p for p in second)
+        assert first  # first delta found its pairs too
+        assert store.read("minhash_signatures").count() == 7
