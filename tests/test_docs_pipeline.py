@@ -88,3 +88,70 @@ def test_docs_contracts(spark, corpus, tmp_path):
     assert checks and all(c.passed for c in checks), [
         (c.table, c.check, c.failing_rows) for c in checks if not c.passed
     ]
+
+
+def test_incremental_equals_full_rebuild(spark, tmp_path):
+    """run_docs_incremental over a delta == run_docs_pipeline over the
+    whole corpus, table for table — including an old-cluster MERGE: the
+    delta doc C overlaps old docs A and B (which are NOT near-dups of
+    each other), so batch clusters {A, B, C} and demotes B; the
+    incremental path must demote B identically and re-pack B's source."""
+    from payor_mdm_spark.plans.docs_pipeline import run_docs_incremental
+
+    def words(tag, n=30):
+        return " ".join(f"{tag}{i}word" for i in range(n))
+
+    x, y, z = words("xx"), words("yy"), words("zz")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    old = base.filter(F.col("doc_id") < 250).unionByName(
+        spark.createDataFrame(
+            [(300, "srcA", f"{x} {y}"), (301, "srcA", f"{y} {z}")],
+            "doc_id long, source string, text string",
+        )
+    )
+    delta = spark.createDataFrame(
+        [
+            (700001, "srcB", None),        # exact dup of old doc 5 (filled below)
+            (700002, "srcB", None),        # near dup of old doc 7
+            (700003, "srcC", f"{x} {y} {z}"),  # bridges old clusters {300},{301}
+            (700004, "srcC", words("fresh", 40)),  # genuinely new
+        ],
+        "doc_id long, source string, text string",
+    )
+    texts = {r.doc_id: r.text for r in base.filter(F.col("doc_id").isin(5, 7)).collect()}
+    delta = (
+        delta.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 700001, F.lit(texts[5]))
+            .when(F.col("doc_id") == 700002, F.lit(texts[7] + " tail"))
+            .otherwise(F.col("text")),
+        )
+    )
+
+    full_store = CheckpointStore(spark, str(tmp_path / "full"))
+    run_docs_pipeline(
+        spark, old.unionByName(delta), full_store, jaccard_threshold=0.5,
+        collect_metrics=False,
+    )
+    inc_store = CheckpointStore(spark, str(tmp_path / "inc"))
+    run_docs_pipeline(
+        spark, old, inc_store, jaccard_threshold=0.5, collect_metrics=False
+    )
+    res = run_docs_incremental(spark, delta, inc_store, jaccard_threshold=0.5)
+
+    def snap(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()
+        )
+
+    for name in DOC_STAGES:
+        assert snap(inc_store.read(name)) == snap(full_store.read(name)), name
+
+    keepers = {r.doc_id for r in res.tables["doc_keepers"].select("doc_id").collect()}
+    assert 300 in keepers and 301 not in keepers  # merge demoted old keeper B
+    assert 700003 not in keepers                  # bridge doc joins root 300
+    assert 700001 not in keepers and 700002 not in keepers  # dups dropped
+    assert 700004 in keepers                      # fresh doc kept
