@@ -155,3 +155,67 @@ def test_incremental_equals_full_rebuild(spark, tmp_path):
     assert 700003 not in keepers                  # bridge doc joins root 300
     assert 700001 not in keepers and 700002 not in keepers  # dups dropped
     assert 700004 in keepers                      # fresh doc kept
+
+
+def test_docs_streaming_bridge_matches_full_rebuild(spark, tmp_path):
+    """Two document micro-batches through the streaming bridge (batch 2 a
+    delta with exact/near dups of batch 1) must land on the same corpus
+    state as a batch rebuild over everything the stream saw — and a full
+    replay of batch 2 must be a committed no-op."""
+    import os
+
+    from payor_mdm_spark.streaming.docs_bridge import (
+        incremental_docs_stream, read_docs_stream,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    b1 = base.filter(F.col("doc_id") < 300)
+    b2 = (
+        base.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+        .unionByName(
+            base.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 800000).alias("doc_id"), "source",
+                F.concat("text", F.lit(" tail")).alias("text"),
+            )
+        )
+    )
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src, exist_ok=True)
+    store = CheckpointStore(spark, str(tmp_path / "docs_bridge"))
+    stream_ckpt = str(tmp_path / "docs_stream_ckpt")
+
+    def run_once():
+        q = incremental_docs_stream(
+            spark, read_docs_stream(spark, src), store, stream_ckpt,
+        ).start()
+        q.awaitTermination(300)
+
+    b1.write.mode("append").parquet(src)
+    run_once()
+    assert store.exists("doc_keepers")
+    b2.write.mode("append").parquet(src)
+    run_once()
+
+    full_store = CheckpointStore(spark, str(tmp_path / "docs_bridge_full"))
+    run_docs_pipeline(
+        spark, b1.unionByName(b2), full_store, collect_metrics=False
+    )
+
+    def snap(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()
+        )
+
+    for name in DOC_STAGES:
+        assert snap(store.read(name)) == snap(full_store.read(name)), name
+
+    # replay: re-process batch 2 directly — ledger reduces it to a no-op
+    from payor_mdm_spark.streaming.docs_bridge import process_docs_batch
+
+    before = snap(store.read("doc_keepers"))
+    process_docs_batch(spark, store, b2)
+    assert snap(store.read("doc_keepers")) == before
