@@ -2112,3 +2112,97 @@ def dedup_minhash_incremental(spark, sf_dir):
         hash_mode="md5",
     )
     return pairs.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    select l_orderkey,
+      cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))), 2)
+           as double) as revenue,
+      o_orderdate, o_orderpriority
+    from customer
+    join orders   on o_custkey = c_custkey
+    join lineitem on l_orderkey = o_orderkey
+    where c_mktsegment = 'BUILDING'
+      and o_orderdate < timestamp '1997-07-01'
+      and l_shipdate  > timestamp '1997-07-01'
+    group by l_orderkey, o_orderdate, o_orderpriority
+    order by revenue desc, l_orderkey asc
+    limit 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-07-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")
+                ), 2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    """
+    select n_name,
+      cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))), 2)
+           as double) as revenue
+    from customer
+    join orders   on o_custkey = c_custkey
+    join lineitem on l_orderkey = o_orderkey
+    join supplier on s_suppkey = l_suppkey and s_nationkey = c_nationkey
+    join nation   on n_nationkey = s_nationkey
+    join region   on r_regionkey = n_regionkey
+    where r_name = 'ASIA'
+      and o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate <  timestamp '1997-01-01'
+    group by n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")
+                ), 2,
+            ).cast("double").alias("revenue")
+        )
+    )
