@@ -656,3 +656,62 @@ def top_ngrams(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "gram", "occurrences", "doc_freq", "rank"
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_ngram_ratio: float = 0.3,
+    max_top_ngram_share: float = 0.2,
+    min_stopword_ratio: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality verdict: every rule evaluated, the
+    verdict AND-composed, and each failure NAMED — the reasons array is
+    what makes a 100 TB filtering run auditable (how much did each rule
+    remove?) instead of a black-box keep/drop.
+
+    Rules (MassiveText/Gopher defaults, thresholds configurable): token
+    count in [min, max], mean word length in [min, max], duplicate n-gram
+    ratio and top-n-gram share caps (intra-doc repetition), minimum
+    stopword ratio (gibberish guard).
+
+    One aggregation pass (repetition signals) joined onto per-row column
+    math; output [id, keep, reasons] where reasons is a sorted array of
+    failed rule names (empty when keep).
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        token_count_col(t).alias("_ntok"),
+        mean_word_len_col(t).alias("_mwl"),
+        stopword_ratio_col(t).alias("_stop"),
+    )
+    rep = repetition_signals(docs, id_col=id_col, text_col=text_col)
+    checks = [
+        ("too_few_tokens", F.col("_ntok") < min_tokens),
+        ("too_many_tokens", F.col("_ntok") > max_tokens),
+        ("mean_word_len_low", F.col("_mwl") < min_mean_word_len),
+        ("mean_word_len_high", F.col("_mwl") > max_mean_word_len),
+        ("dup_ngram_ratio", F.col("dup_ngram_ratio") > max_dup_ngram_ratio),
+        ("top_ngram_share", F.col("top_ngram_share") > max_top_ngram_share),
+        ("stopword_ratio_low", F.col("_stop") < min_stopword_ratio),
+    ]
+    reasons = F.sort_array(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for name, cond in checks]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return (
+        base.join(rep.select(id_col, "dup_ngram_ratio", "top_ngram_share"), id_col)
+        .select(
+            id_col,
+            (F.size(reasons) == 0).alias("keep"),
+            reasons.alias("reasons"),
+        )
+    )

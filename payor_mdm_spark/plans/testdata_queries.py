@@ -2206,3 +2206,66 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
             ).cast("double").alias("revenue")
         )
     )
+
+
+@query(
+    "gopher_doc_filter",
+    """
+    with base as (
+      select doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') as ft,
+        regexp_split_to_array(lower(text), '\\s+') as t
+      from documents
+    ), feats as (
+      select doc_id, len(ft) as ntok,
+        case when len(ft) > 0
+          then cast(list_sum(list_transform(ft, w -> len(w))) as double)
+               / len(ft) else 0.0 end as mwl,
+        case when len(ft) > 0
+          then cast(len(list_filter(ft, w -> w in
+               ('the','and','of','to','is','in','that','with'))) as double)
+               / len(ft) else 0.0 end as stop
+      from base
+    ), grams as (
+      select doc_id, unnest(g) as g from (
+        select doc_id,
+          case when len(t) >= 3
+            then list_transform(range(0, len(t) - 2),
+                                i -> array_to_string(t[(i+1):(i+3)], ' '))
+            else [array_to_string(t, ' ')] end as g
+        from base
+      ) x
+    ), per_gram as (
+      select doc_id, g, count(*) as c from grams group by doc_id, g
+    ), per_doc as (
+      select doc_id, cast(sum(c) as bigint) as total, count(*) as dist,
+             max(c) as top
+      from per_gram group by doc_id
+    ), rep as (
+      select f.doc_id,
+        round(case when p.total > 0 then 1.0 - p.dist / p.total
+              else 0.0 end, 4) as dup_r,
+        round(case when p.total > 0 then p.top / p.total
+              else 0.0 end, 4) as top_s
+      from feats f left join per_doc p on p.doc_id = f.doc_id
+    ), verdict as (
+      select f.doc_id,
+        list_sort(list_filter([
+          case when f.ntok < 20 then 'too_few_tokens' end,
+          case when f.ntok > 100000 then 'too_many_tokens' end,
+          case when f.mwl < 2.0 then 'mean_word_len_low' end,
+          case when f.mwl > 12.0 then 'mean_word_len_high' end,
+          case when r.dup_r > 0.3 then 'dup_ngram_ratio' end,
+          case when r.top_s > 0.2 then 'top_ngram_share' end,
+          case when f.stop < 0.02 then 'stopword_ratio_low' end
+        ], x -> x is not null)) as reasons
+      from feats f join rep r on r.doc_id = f.doc_id
+    )
+    select doc_id, len(reasons) = 0 as keep, reasons from verdict
+    """,
+)
+def gopher_doc_filter(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, "documents"))

@@ -896,3 +896,69 @@ class TestIncrementalMinhash:
         assert all(20 in p for p in second)
         assert first  # first delta found its pairs too
         assert store.read("minhash_signatures").count() == 7
+
+
+class TestGopherFilter:
+    def test_verdicts_and_reasons(self, spark):
+        from payor_mdm_spark.operators.text_analysis import gopher_filter
+
+        good = "the quick brown fox jumps over the lazy dog and then runs off to find more of the good stuff in town"
+        docs = spark.createDataFrame(
+            [
+                (1, good),                                   # passes all rules
+                (2, "tiny doc"),                             # too few tokens
+                (3, "spam spam spam spam spam " * 8),        # repetition + no stopwords
+                (4, ("a " * 30).strip()),                    # mean word len too low
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in gopher_filter(docs).collect()}
+        assert got[1].keep and got[1].reasons == []
+        assert not got[2].keep and "too_few_tokens" in got[2].reasons
+        assert not got[3].keep
+        assert {"dup_ngram_ratio", "top_ngram_share",
+                "stopword_ratio_low"} <= set(got[3].reasons)
+        assert not got[4].keep and "mean_word_len_low" in got[4].reasons
+
+
+class TestStagingAdversarialInputs:
+    def test_arbitrary_text_never_breaks_staging(self, spark):
+        """Robustness batch: staging must survive adversarial transcript
+        text (unicode, regex metachars, quotes, huge tokens, control
+        chars) in ONE Spark job — every conversation stages to exactly one
+        record with a non-null id and the normalization columns present."""
+        import datetime
+
+        from payor_mdm_spark.operators.rollup import rollup_conversations
+        from payor_mdm_spark.operators.staging import stage_records
+        from payor_mdm_spark.streaming.ingest import TURN_SCHEMA
+
+        ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+        nasty = [
+            "",
+            " ",
+            "\\\\",
+            "I'm calling about O'Brien & Sons (.*+?[]{}|^$) Inc.",
+            "unicode éèê 你好 \U0001f600 mixed",
+            "x" * 20000,
+            'quotes "double" and \'single\' and `backticks`',
+            "tabs\tand\nnewlines\rin text",
+            "null byte \x00 and bell \x07 chars",
+            "address is 1 Main St, Springfield, Illinois, 627041234567890",
+            "tax id is 99-9999999999999 phone (999) 999-99999999",
+            "ZIP 00000-0000 state ZZ",
+        ]
+        rows = []
+        for i, text in enumerate(nasty):
+            conv = f"conv-crm-{i:06d}"
+            rows.append((conv, 0, "user", text, None, ts))
+            rows.append((conv, 1, "assistant", "ok", None, ts))
+        staged = stage_records(
+            spark, rollup_conversations(spark.createDataFrame(rows, TURN_SCHEMA))
+        ).collect()
+        assert len(staged) == len(nasty)
+        for r in staged:
+            assert r.source_record_id and r.source_system == "crm"
+            # normalization columns exist and blocking keys are non-null
+            assert r.block_name_key is not None
+            assert r.block_zip3_name4 is not None
