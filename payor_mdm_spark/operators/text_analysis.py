@@ -715,3 +715,76 @@ def gopher_filter(
             reasons.alias("reasons"),
         )
     )
+
+
+def duplicate_span_signals(
+    docs: DataFrame,
+    span_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication signals (the Lee et al. "Deduplicating
+    Training Data" family): for every ``span_len``-char window that occurs
+    MORE THAN ONCE corpus-wide (across docs or within one), measure how
+    much of each document those duplicated windows cover.
+
+    Output: [id, n_dup_spans, dup_char_coverage, dup_char_ratio] — the
+    drop/trim signal for exact-substring dedup without materializing
+    suffix arrays.
+
+    Scale shape: one explode of (position, md5_60bit(window)) — the
+    shuffle carries 8-byte hashes, never the windows themselves — one
+    corpus-wide hash-aggregate keyed on the window hash, a semi-join back,
+    and a per-doc aggregation. Coverage is the closed-form union of
+    equal-length sorted intervals: span_len + sum(min(span_len, gap)) —
+    no stateful fold, pure array math over the (doc-bounded) position
+    list.
+    """
+    from payor_mdm_spark.functions.textnorm import md5_60bit
+
+    t = F.col(text_col)
+    n = F.length(t)
+    windows = F.when(
+        n >= span_len,
+        F.transform(
+            F.sequence(F.lit(1), n - (span_len - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), md5_60bit(t.substr(i, F.lit(span_len))).alias("h")
+            ),
+        ),
+    ).otherwise(F.array())
+    g = docs.select(
+        F.col(id_col), n.alias("_len"), F.explode(windows).alias("_w")
+    ).select(id_col, "_len", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("_h"))
+    hot = g.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") > 1)
+    dup = g.join(hot.select("_h"), "_h", "semi")
+    per_doc = dup.groupBy(id_col, "_len").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sort_array(F.collect_list("_pos")).alias("_ps"),
+    )
+    ps = F.col("_ps")
+    gaps = F.zip_with(
+        F.slice(ps, 2, F.greatest(F.size(ps) - 1, F.lit(0))),
+        F.slice(ps, 1, F.greatest(F.size(ps) - 1, F.lit(0))),
+        lambda a, b: F.least(F.lit(span_len), a - b),
+    )
+    coverage = F.when(
+        F.size(ps) > 0,
+        F.lit(span_len) + F.aggregate(gaps, F.lit(0), lambda acc, v: acc + v),
+    ).otherwise(F.lit(0))
+    scored = per_doc.select(
+        id_col,
+        "n_dup_spans",
+        coverage.alias("dup_char_coverage"),
+        F.round(coverage.cast("double") / F.col("_len"), 4).alias("dup_char_ratio"),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_char_coverage", F.lit(0)).alias("dup_char_coverage"),
+            F.coalesce("dup_char_ratio", F.lit(0.0)).alias("dup_char_ratio"),
+        )
+    )

@@ -962,3 +962,43 @@ class TestStagingAdversarialInputs:
             # normalization columns exist and blocking keys are non-null
             assert r.block_name_key is not None
             assert r.block_zip3_name4 is not None
+
+
+class TestDuplicateSpans:
+    def test_coverage_math_and_corpus_duplicates(self, spark):
+        from payor_mdm_spark.operators.text_analysis import duplicate_span_signals
+
+        shared = "0123456789abcdefghij"  # exactly span_len chars
+        docs = spark.createDataFrame(
+            [
+                (1, f"{shared} unique middle part {shared}"),
+                (2, f"prefix text then {shared} and more after"),
+                (3, "completely distinct content with no repeats at all"),
+                (4, "short"),  # below span_len -> all zeros
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in duplicate_span_signals(docs, span_len=20).collect()}
+        # hand-verified against a reference interval-union implementation:
+        # the shared block PLUS its flanking-space windows duplicate, so
+        # doc 1 covers [0,21) + [39,60) = 42 chars across its two copies
+        # and doc 2 covers [16,38) = 22 chars
+        assert (got[1].n_dup_spans, got[1].dup_char_coverage) == (4, 42)
+        assert (got[2].n_dup_spans, got[2].dup_char_coverage) == (3, 22)
+        assert got[3].n_dup_spans == 0 and got[3].dup_char_ratio == 0.0
+        assert got[4].dup_char_coverage == 0
+
+    def test_overlapping_windows_union_not_sum(self, spark):
+        from payor_mdm_spark.operators.text_analysis import duplicate_span_signals
+
+        # a 25-char duplicated region plus its trailing-space window -> 7
+        # duplicated 20-char windows whose UNION is 26 chars, not 7*20
+        # (hand-verified against a reference interval-union implementation)
+        region = "abcdefghijklmnopqrstuvwxy"
+        docs = spark.createDataFrame(
+            [(1, f"{region} filler one here"), (2, f"{region} other filler two")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in duplicate_span_signals(docs, span_len=20).collect()}
+        assert got[1].n_dup_spans == 7
+        assert got[1].dup_char_coverage == 26
