@@ -37,17 +37,18 @@ from payor_mdm_spark.config import (
 _ID = "source_record_id"
 
 
-def _pairs_within_blocks(
-    members: DataFrame, key_cols: list[str], pass_name: str, max_block_size: int
+def _with_block_salt(
+    members: DataFrame, hot: DataFrame, key_cols: list[str], max_block_size: int
 ) -> DataFrame:
-    """Equi self-join within blocks, with hot blocks salted.
+    """Attach the per-member sub-block salt for hot blocks: salt =
+    pmod(xxhash64(id), ceil(block_count / cap)), 0 for normal blocks.
 
-    ``members``: DataFrame[key_cols..., source_record_id]. Returns
-    DataFrame[source_record_id_a, source_record_id_b, block_pass].
+    THE single definition of the salting formula — the batch self-join
+    (_pairs_within_blocks) and the incremental new-vs-all join
+    (dedup._pairs_new_vs_all) must compute identical salts or the pinned
+    incremental == batch equivalence silently breaks.
     """
-    counts = members.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_blk_cnt"))
-    hot = counts.filter(F.col("_blk_cnt") > max_block_size)
-    salted = members.join(F.broadcast(hot), key_cols, "left").withColumn(
+    return members.join(F.broadcast(hot), key_cols, "left").withColumn(
         "_salt",
         F.when(F.col("_blk_cnt").isNull(), F.lit(0)).otherwise(
             F.pmod(
@@ -56,6 +57,25 @@ def _pairs_within_blocks(
             ).cast("int")
         ),
     ).drop("_blk_cnt")
+
+
+def _hot_blocks(
+    members: DataFrame, key_cols: list[str], max_block_size: int
+) -> DataFrame:
+    counts = members.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_blk_cnt"))
+    return counts.filter(F.col("_blk_cnt") > max_block_size)
+
+
+def _pairs_within_blocks(
+    members: DataFrame, key_cols: list[str], pass_name: str, max_block_size: int
+) -> DataFrame:
+    """Equi self-join within blocks, with hot blocks salted.
+
+    ``members``: DataFrame[key_cols..., source_record_id]. Returns
+    DataFrame[source_record_id_a, source_record_id_b, block_pass].
+    """
+    hot = _hot_blocks(members, key_cols, max_block_size)
+    salted = _with_block_salt(members, hot, key_cols, max_block_size)
 
     join_keys = key_cols + ["_salt"]
     a = salted.select(*[F.col(c) for c in join_keys], F.col(_ID).alias(f"{_ID}_a"))

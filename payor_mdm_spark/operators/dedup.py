@@ -504,31 +504,20 @@ def _pairs_new_vs_all(
 ) -> DataFrame:
     """Asymmetric block join: candidate pairs with at least one NEW side.
 
-    Same block-count + hot-block salting construction as
-    _pairs_within_blocks (counts over ALL members, per-member salt =
-    pmod(xxhash64(id), ceil(cnt/cap))), but only the new-member side
-    drives the join — old x old buckets are never expanded, so the work
-    scales with the batch, not the corpus.
+    Block counts come from ALL members and the per-member salt is the
+    SHARED formula (blocking._with_block_salt — one definition, so the
+    pinned incremental == batch equivalence cannot drift), but only the
+    new-member side drives the join — old x old buckets are never
+    expanded, so the work scales with the batch, not the corpus.
     """
-    counts = members_all.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_blk_cnt"))
-    hot = counts.filter(F.col("_blk_cnt") > max_block_size)
+    from payor_mdm_spark.operators.blocking import _hot_blocks, _with_block_salt
 
-    def salted(m: DataFrame) -> DataFrame:
-        return m.join(F.broadcast(hot), key_cols, "left").withColumn(
-            "_salt",
-            F.when(F.col("_blk_cnt").isNull(), F.lit(0)).otherwise(
-                F.pmod(
-                    F.xxhash64(F.col("source_record_id")),
-                    F.ceil(F.col("_blk_cnt") / F.lit(max_block_size)).cast("long"),
-                ).cast("int")
-            ),
-        ).drop("_blk_cnt")
-
+    hot = _hot_blocks(members_all, key_cols, max_block_size)
     join_keys = key_cols + ["_salt"]
-    a = salted(members_new).select(
+    a = _with_block_salt(members_new, hot, key_cols, max_block_size).select(
         *[F.col(c) for c in join_keys], F.col("source_record_id").alias("_na")
     )
-    b = salted(members_all).select(
+    b = _with_block_salt(members_all, hot, key_cols, max_block_size).select(
         *[F.col(c) for c in join_keys], F.col("source_record_id").alias("_nb")
     )
     return (
@@ -581,18 +570,37 @@ def minhash_dedup_incremental(
     so the next delta skips old-corpus signature computation entirely.
     """
     rows_per_band = num_hashes // bands
+    params = f"{hash_mode}:{num_hashes}:{bands}:{shingle_k}"
     new_base = _with_signature(
         new_docs.select(F.col(id_col).alias("source_record_id"), F.col(text_col)),
         text_col, num_hashes, shingle_k, hash_mode=hash_mode,
     ).select("source_record_id", "_sig").localCheckpoint(eager=True)
     if store is not None and store.exists(table):
-        old_base = store.read(table)
+        stored = store.read(table)
+        # the table records the signature parameters it was built with —
+        # silently mixing signature spaces (different hash mode / hash
+        # count / shingle width) would collapse recall with no error
+        got = stored.select("_params").first()
+        if got is not None and got["_params"] != params:
+            raise ValueError(
+                f"signature table '{table}' was built with params "
+                f"{got['_params']!r} but this call uses {params!r}; "
+                "recompute the table or match the parameters"
+            )
+        old_base = stored.select("source_record_id", "_sig")
     else:
         old_base = _with_signature(
             old_docs.select(F.col(id_col).alias("source_record_id"), F.col(text_col)),
             text_col, num_hashes, shingle_k, hash_mode=hash_mode,
         ).select("source_record_id", "_sig").localCheckpoint(eager=True)
-    all_base = old_base.unionByName(new_base)
+    # dedupe on id: a crash-retry may run with a signature table that a
+    # previous attempt already merged the delta into — signatures are
+    # deterministic, so keeping one row per doc heals the overlap
+    all_base = (
+        old_base.unionByName(new_base)
+        .dropDuplicates(["source_record_id"])
+        .localCheckpoint(eager=True)
+    )
 
     members_new = _minhash_band_members(new_base, bands, rows_per_band, hash_mode)
     members_all = _minhash_band_members(all_base, bands, rows_per_band, hash_mode)
@@ -609,5 +617,5 @@ def minhash_dedup_incremental(
         survivors, all_docs, id_col, text_col, shingle_k, jaccard_threshold
     )
     if store is not None and update_store:
-        store.write(table, all_base)
+        store.write(table, all_base.withColumn("_params", F.lit(params)))
     return pairs

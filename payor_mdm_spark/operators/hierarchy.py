@@ -231,7 +231,13 @@ def tree_paths(
     # ever reaching the sum-of-depths fixpoint. Break mutual pairs up
     # front deterministically: keep only the parent < child direction
     # (ADVICE r02). Longer cycles are caught by the fixpoint guard below.
-    e = edges.select("parent_master_id", "child_master_id").distinct()
+    e = (
+        edges.select("parent_master_id", "child_master_id")
+        # a self-referencing parent row is a degenerate 1-cycle: it would
+        # double its depth every round and trip the fixpoint guard
+        .filter(F.col("parent_master_id") != F.col("child_master_id"))
+        .distinct()
+    )
     rev = e.select(
         F.col("child_master_id").alias("parent_master_id"),
         F.col("parent_master_id").alias("child_master_id"),

@@ -561,9 +561,15 @@ def bigram_lm_scores(
         id_col, F.col("_p.w1").alias("_w1"), F.col("_p.bg").alias("_bg")
     )
     u = docs.select(F.explode(tokens_col(F.col(text_col))).alias("_w"))
-    uc = u.groupBy("_w").agg(F.count(F.lit(1)).alias("_uc"))
+    # materialize the unigram counts once: V is by definition uc's row
+    # count, so the vocab scalar comes from the aggregated table instead
+    # of a second full tokenize+distinct pass over the corpus
+    uc = (
+        u.groupBy("_w").agg(F.count(F.lit(1)).alias("_uc"))
+        .localCheckpoint(eager=True)
+    )
     bc = b.groupBy("_bg").agg(F.count(F.lit(1)).alias("_bc"))
-    vocab = u.select("_w").distinct().count()
+    vocab = uc.count()
     neg_ln_p = -F.log(
         (F.col("_bc") + F.lit(k))
         / (F.col("_uc") + F.lit(k) * F.lit(float(vocab)))

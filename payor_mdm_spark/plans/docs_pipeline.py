@@ -150,7 +150,6 @@ def run_docs_incremental(
     max_dup_ngram_ratio: float = 0.9,
     jaccard_threshold: float = 0.8,
     budget_tokens: int = 2048,
-    run_ts: str = "2026-01-01 00:00:00",
 ) -> DocsRunResult:
     """Delta run of the training-corpus DAG against a completed batch run.
 
@@ -195,10 +194,26 @@ def run_docs_incremental(
     )
 
     result = DocsRunResult(tables={})
-    old_exact = store.read("doc_exact")
-    old_clusters = store.read("doc_clusters")
-    old_keepers = store.read("doc_keepers")
-    old_packed = store.read("doc_packed")
+    delta_ids = new_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    # crash-retry healing: a previous attempt may have committed SOME of
+    # the derived tables (the doc_stats ledger lands LAST, so a retried
+    # batch re-enters here) — rows carrying delta ids in the committed
+    # state are that attempt's leftovers and are recomputed fresh
+    old_exact = store.read("doc_exact").join(delta_ids, "doc_id", "left_anti")
+    old_clusters = store.read("doc_clusters").join(delta_ids, "doc_id", "left_anti")
+    old_keepers = store.read("doc_keepers").join(delta_ids, "doc_id", "left_anti")
+    old_packed = store.read("doc_packed").join(delta_ids, "doc_id", "left_anti")
+
+    # the bit-identical-to-rebuild contract requires monotonic ingest ids;
+    # fail fast instead of silently diverging on out-of-order deltas
+    max_old = old_exact.agg(F.max("doc_id")).first()[0]
+    min_new = new_docs.agg(F.min("doc_id")).first()[0]
+    if max_old is not None and min_new is not None and min_new <= max_old:
+        raise ValueError(
+            f"delta doc_ids must exceed every committed id (committed max "
+            f"{max_old}, delta min {min_new}); out-of-order ingest breaks "
+            "the full-rebuild equivalence contract"
+        )
 
     new_stats = analyze_documents(new_docs).join(
         repetition_signals(new_docs), "doc_id"
@@ -307,19 +322,28 @@ def run_docs_incremental(
     # materialize EVERY derived table before the first commit: the write
     # loop atomically replaces tables these lineages lazily read (e.g.
     # keepers reads the doc_clusters files being swapped one line earlier)
-    clusters = clusters.localCheckpoint(eager=True)
-    keepers = keepers.localCheckpoint(eager=True)
+    clusters = clusters.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+    keepers = keepers.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
     splits = splits.localCheckpoint(eager=True)
     packed = packed.localCheckpoint(eager=True)
 
-    store.append("doc_stats", new_stats)
-    store.append("doc_filtered", new_filtered)
-    store.append("doc_exact", new_exact)
+    # commit ORDER is the crash contract: derived tables first, appends
+    # after, and the doc_stats ledger LAST — the streaming bridge's replay
+    # guard keys on doc_stats, so a crash anywhere in this window leaves
+    # the delta ledger-absent and the retry re-enters (the delta-id
+    # anti-joins above heal any partially committed state). A crash
+    # BETWEEN the appends can leave duplicate delta rows in the
+    # stats/filtered/exact append logs; every consumer keys by doc_id
+    # (hash sets are distinct, signatures group by id), so duplicates are
+    # benign there.
     for name, df in (
         ("doc_clusters", clusters), ("doc_keepers", keepers),
         ("doc_splits", splits), ("doc_packed", packed),
     ):
         store.write(name, df)
+    store.append("doc_exact", new_exact)
+    store.append("doc_filtered", new_filtered)
+    store.append("doc_stats", new_stats)
     for name in DOC_STAGES:
         result.tables[name] = store.read(name)
     return result

@@ -46,7 +46,11 @@ def process_docs_batch(
     if batch_df.isEmpty():
         return
     store.append(landing_table, batch_df)
-    if store.exists("doc_keepers"):
+    # gate on the LAST stage the batch pipeline commits: a bootstrap that
+    # crashed mid-way (e.g. after doc_keepers but before doc_packed) must
+    # re-run the full bootstrap on retry, not wedge the incremental path
+    # on a missing downstream table
+    if store.exists("doc_packed"):
         seen = store.read("doc_stats").select("doc_id")
         delta = (
             store.read(landing_table)

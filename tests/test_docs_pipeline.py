@@ -219,3 +219,54 @@ def test_docs_streaming_bridge_matches_full_rebuild(spark, tmp_path):
     before = snap(store.read("doc_keepers"))
     process_docs_batch(spark, store, b2)
     assert snap(store.read("doc_keepers")) == before
+
+
+def test_incremental_guards(spark, tmp_path):
+    """Out-of-order delta ids fail fast (the equivalence contract), a
+    signature table built with different MinHash parameters is rejected,
+    and a crashed bootstrap (doc_keepers committed, doc_packed missing)
+    re-runs the bootstrap instead of wedging the bridge."""
+    import shutil
+
+    import pytest as _pytest
+
+    from payor_mdm_spark.operators.dedup import minhash_dedup_incremental
+    from payor_mdm_spark.plans.docs_pipeline import run_docs_incremental
+    from payor_mdm_spark.streaming.docs_bridge import process_docs_batch
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).filter(F.col("doc_id") < 60)
+    store = CheckpointStore(spark, str(tmp_path / "g"))
+    run_docs_pipeline(spark, base, store, collect_metrics=False)
+
+    # out-of-order delta: id 10 is already committed
+    stale = spark.createDataFrame(
+        [(10, "srcX", "some fresh text that is long enough to pass filters "
+          "with the usual words in it for the quality gate to be fine")],
+        "doc_id long, source string, text string",
+    )
+    with _pytest.raises(ValueError, match="monotonic|exceed every committed"):
+        run_docs_incremental(spark, stale, store)
+
+    # parameter mismatch against the committed signature table
+    old = base.select("doc_id", "text")
+    new = spark.createDataFrame(
+        [(900001, "a genuinely new document for the parameter check test")],
+        "doc_id long, text string",
+    )
+    minhash_dedup_incremental(old, new, store=store, table="sig_params")
+    with _pytest.raises(ValueError, match="params"):
+        minhash_dedup_incremental(
+            old, new, store=store, table="sig_params", hash_mode="md5"
+        )
+
+    # crashed bootstrap: doc_packed missing -> bridge re-runs bootstrap
+    shutil.rmtree(tmp_path / "g" / "doc_packed")
+    delta = spark.createDataFrame(
+        [(900002, "src0", "another new doc that should flow through the "
+          "re-run bootstrap without touching the incremental path")],
+        "doc_id long, source string, text string",
+    )
+    process_docs_batch(spark, store, delta)
+    assert store.exists("doc_packed")  # bootstrap re-ran and committed

@@ -184,3 +184,16 @@ def test_tree_paths_store_backed_checkpointing(spark, tmp_path):
         for r in tree_paths(edges, store=store, store_every=2).collect()
     }
     assert durable == local and local["n050"] == ("n000", 50)
+
+
+def test_tree_paths_drops_self_loop_edges(spark):
+    """A self-referencing parent row is a degenerate 1-cycle: it must be
+    dropped (the node roots itself), not spin the fixpoint guard."""
+    from payor_mdm_spark.operators.hierarchy import tree_paths
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("a", "b")],
+        "parent_master_id string, child_master_id string",
+    )
+    got = {r.node: (r.root, r.depth) for r in tree_paths(edges, max_iterations=6).collect()}
+    assert got["a"] == ("a", 0) and got["b"] == ("a", 1)
