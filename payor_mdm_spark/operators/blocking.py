@@ -187,6 +187,28 @@ def minhash_signature(col: Column, num_hashes: int = MINHASH_NUM_HASHES,
     return signature_from_shingles(_shingles(col, k), num_hashes)
 
 
+def _scan_splits_below(df: DataFrame, parallelism: int) -> bool:
+    """True when the hashing input has fewer scan splits than cores AND
+    learning that is free.
+
+    ``df.rdd.getNumPartitions()`` is the exact split count, but when the
+    plan contains an Exchange the RDD conversion under AQE materializes the
+    upstream shuffle stages just to learn the number (ADVICE r03 — the
+    incremental-dedup delta side carries a window shuffle). So inspect the
+    pre-AQE physical plan first (a pure planning step, no job): any
+    Exchange means the output partitioning is already shuffle-partition
+    sized — skip the spread; a shuffle-free (scan-shaped) plan makes the
+    RDD conversion free, so use the exact count.
+    """
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+    except Exception:
+        return False  # can't prove it's cheap to ask — don't
+    if "Exchange" in plan:
+        return False
+    return df.rdd.getNumPartitions() < parallelism
+
+
 def _with_signature(
     df: DataFrame, text_col: str, num_hashes: int, k: int,
     id_col: str = _ID, hash_mode: str = "xxhash64",
@@ -219,7 +241,7 @@ def _with_signature(
     # has fewer splits than cores; at scale the scan already has thousands
     # of splits and the repartition would be a pure-overhead shuffle of the
     # corpus, so skip it (VERDICT r02 item 6)
-    if base.rdd.getNumPartitions() < parallelism:
+    if _scan_splits_below(base, parallelism):
         base = base.repartition(parallelism)
     exploded = base.select(id_col, F.explode(_shingles(F.col("_t"), k)).alias("_s"))
     if hash_mode == "md5":

@@ -74,6 +74,41 @@ def det_rule_col() -> F.Column:
     )
 
 
+def add_geo_contradiction(scored: DataFrame, staged: DataFrame) -> DataFrame:
+    """Backfill ``geo_contradiction`` onto a scored-pairs frame that predates
+    the column (a store committed before the borderline geo gate landed).
+
+    Recomputed from staged rather than defaulted to false: run_incremental
+    only calls this on REUSED pairs, whose staged attributes are by
+    construction unchanged, so the recompute is bit-identical to what
+    score_pairs would have produced for them."""
+    slim = staged.select("source_record_id", "state_code", "city")
+    a = slim.select(
+        F.col("source_record_id").alias("source_record_id_a"),
+        F.col("state_code").alias("_geo_state_code_a"),
+        F.col("city").alias("_geo_city_a"),
+    )
+    b = slim.select(
+        F.col("source_record_id").alias("source_record_id_b"),
+        F.col("state_code").alias("_geo_state_code_b"),
+        F.col("city").alias("_geo_city_b"),
+    )
+
+    def _mm(field: str) -> F.Column:
+        return (
+            F.col(f"_geo_{field}_a").isNotNull()
+            & F.col(f"_geo_{field}_b").isNotNull()
+            & (F.col(f"_geo_{field}_a") != F.col(f"_geo_{field}_b"))
+        )
+
+    return (
+        scored.join(a, "source_record_id_a").join(b, "source_record_id_b")
+        .withColumn("geo_contradiction", _mm("state_code") | _mm("city"))
+        .drop("_geo_state_code_a", "_geo_city_a",
+              "_geo_state_code_b", "_geo_city_b")
+    )
+
+
 def score_pairs(pairs: DataFrame, staged: DataFrame,
                 shuffle_partitions: int | None = None,
                 abbrevs: dict[str, str] | None = None) -> DataFrame:

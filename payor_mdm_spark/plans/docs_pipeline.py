@@ -205,8 +205,17 @@ def run_docs_incremental(
     old_packed = store.read("doc_packed").join(delta_ids, "doc_id", "left_anti")
 
     # the bit-identical-to-rebuild contract requires monotonic ingest ids;
-    # fail fast instead of silently diverging on out-of-order deltas
-    max_old = old_exact.agg(F.max("doc_id")).first()[0]
+    # fail fast instead of silently diverging on out-of-order deltas.
+    # Guard against the doc_stats LEDGER (every analyzed id), not doc_exact
+    # (filter/dedup survivors only): a delta id colliding with a committed
+    # but filtered-out doc must be rejected too, or the ledger — which the
+    # streaming replay guard and per-doc-id consumers key on — would grow a
+    # duplicate doc_id (ADVICE r03). No delta anti-join here: doc_stats
+    # lands LAST in the commit order, so a legitimate crash-retry never has
+    # its delta ids in the ledger — any overlap is an id collision or a
+    # re-submit of a fully committed batch (the bridge filters those;
+    # direct calls should fail fast, not double-append the ledger).
+    max_old = store.read("doc_stats").agg(F.max("doc_id")).first()[0]
     min_new = new_docs.agg(F.min("doc_id")).first()[0]
     if max_old is not None and min_new is not None and min_new <= max_old:
         raise ValueError(

@@ -29,7 +29,7 @@ from payor_mdm_spark.operators.hierarchy import (
     infer_hierarchy,
 )
 from payor_mdm_spark.operators.rollup import rollup_conversations
-from payor_mdm_spark.operators.scoring import score_pairs
+from payor_mdm_spark.operators.scoring import add_geo_contradiction, score_pairs
 from payor_mdm_spark.operators.staging import stage_records
 from payor_mdm_spark.operators.survivorship import survive_groups
 from payor_mdm_spark.sources.catalog import CheckpointStore
@@ -302,6 +302,13 @@ def run_incremental(
 
     fresh = score_pairs(to_score, staged, shuffle_partitions=shuffle_partitions,
                         abbrevs=load_abbreviation_dict(store))
+    if "geo_contradiction" not in old_scored.columns:
+        # Pre-upgrade store: the committed scored_pairs predates the
+        # borderline geo gate. Backfill by recompute — exact for reused
+        # pairs, whose staged attributes are unchanged — so the
+        # continue-from-committed-state contract survives the upgrade.
+        # (Applied after to_score so the anti-join plan stays two-table.)
+        reusable = add_geo_contradiction(reusable, staged)
     scored = reusable.select(*fresh.columns).unionByName(fresh)
     store.write("scored_pairs", scored)
 

@@ -249,6 +249,27 @@ def test_incremental_guards(spark, tmp_path):
     with _pytest.raises(ValueError, match="monotonic|exceed every committed"):
         run_docs_incremental(spark, stale, store)
 
+    # the guard keys on the doc_stats LEDGER, not the doc_exact survivors:
+    # a delta id colliding with a committed-but-FILTERED-OUT doc must be
+    # rejected too, or the ledger would grow a duplicate doc_id (ADVICE r03)
+    junk = spark.createDataFrame(
+        [(5000, "srcJ", "spam " * 200)],
+        "doc_id long, source string, text string",
+    )
+    led_store = CheckpointStore(spark, str(tmp_path / "ledger_guard"))
+    run_docs_pipeline(spark, base.unionByName(junk), led_store,
+                      collect_metrics=False)
+    assert led_store.read("doc_stats").filter(F.col("doc_id") == 5000).count() == 1
+    assert led_store.read("doc_exact").filter(F.col("doc_id") == 5000).count() == 0, \
+        "fixture must be filtered out for this test to bite"
+    collide = spark.createDataFrame(
+        [(5000, "srcJ", "a new document reusing the filtered-out ledger id "
+          "which the survivor-based guard would wrongly admit")],
+        "doc_id long, source string, text string",
+    )
+    with _pytest.raises(ValueError, match="monotonic|exceed every committed"):
+        run_docs_incremental(spark, collide, led_store)
+
     # parameter mismatch against the committed signature table
     old = base.select("doc_id", "text")
     new = spark.createDataFrame(

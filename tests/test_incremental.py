@@ -93,6 +93,32 @@ def test_incremental_rescore_is_bounded(spark, worlds, tmp_path):
     assert total >= base_pairs * 0.5  # sanity: reuse actually carried over
 
 
+def test_incremental_upgrades_pre_geo_gate_store(spark, worlds, tmp_path):
+    """A store committed BEFORE the geo_contradiction column existed must
+    still satisfy the continue-from-committed-state contract: the reused
+    pairs get the column backfilled by recompute (exact — their staged
+    attributes are unchanged), and every stage still matches a full
+    rebuild (ADVICE r03, medium)."""
+    store = CheckpointStore(spark, str(tmp_path / "pre_geo"))
+    run_pipeline(spark, worlds["base"], store, collect_metrics=False)
+    # simulate the pre-upgrade on-disk layout: committed scored_pairs
+    # without the geo column (checkpoint first — the write swaps files)
+    legacy = store.read("scored_pairs").drop("geo_contradiction") \
+        .localCheckpoint(eager=True)
+    store.write("scored_pairs", legacy)
+    spark.catalog.clearCache()
+
+    inc = run_incremental(spark, worlds["delta"], store, collect_metrics=False)
+
+    full_store = CheckpointStore(spark, str(tmp_path / "pre_geo_full"))
+    full = run_pipeline(spark, worlds["upserted"], full_store,
+                        collect_metrics=False)
+    for stage in STAGES:
+        got = _snapshot(inc.tables[stage], None)
+        want = _snapshot(full.tables[stage], None)
+        assert got == want, f"stage {stage} diverges after store upgrade"
+
+
 def test_incremental_requires_prior_run(spark, worlds, tmp_path):
     store = CheckpointStore(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="incremental run needs"):
