@@ -8,7 +8,7 @@
 ``queries``   — one entry per implemented operator family from SURVEY §2
                 (+ the training-data suite), runnable over the driver's
                 testdata tables.
-``oracle_sql``— DuckDB-executable twins for EVERY query (59/59): hash
+``oracle_sql``— DuckDB-executable twins for EVERY query (60/60): hash
                 kernels run md5-derived modes in their query entries so
                 the twins reproduce them exactly (MinHash-LSH stage-by-
                 stage, SimHash votes, fingerprints, LSH hyperplane

@@ -728,6 +728,8 @@ def duplicate_span_signals(
     span_len: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    anchor: str = "char",
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Exact-substring duplication signals (the Lee et al. "Deduplicating
     Training Data" family): for every ``span_len``-char window that occurs
@@ -745,20 +747,70 @@ def duplicate_span_signals(
     equal-length sorted intervals: span_len + sum(min(span_len, gap)) —
     no stateful fold, pure array math over the (doc-bounded) position
     list.
+
+    Shuffle-volume controls (VERDICT r03 item 2 — ``anchor="char"`` emits
+    one ~45-byte row per corpus character, a multi-petabyte shuffle at
+    100 TB):
+
+    * ``anchor="token"``: windows start only at token boundaries (doc
+      start, or a non-space char preceded by a space) — O(#tokens) rows,
+      ~6x fewer for English. Anchoring must be CONTENT-DEFINED for the
+      reduction to be sound: a fixed char stride k > 1 samples window
+      offsets modulo each doc's own alignment, so two documents sharing a
+      span at different offsets emit DISJOINT window sets and the
+      duplicate is missed — which is why no char-stride knob exists here.
+      Token anchors are recomputed identically from the shared content
+      itself, so every duplicated region that is token-aligned at its
+      start and >= span_len chars is detected in ALL copies regardless of
+      offset; a mid-token start delays detection to the first token
+      boundary inside the region (<= longest-token chars, the
+      content-defined analog of the classic "spans >= span_len + stride-1"
+      stride bound).
+    * ``sample_mod=p`` (> 1): additionally keep only windows whose hash is
+      0 mod p — a further deterministic, content-defined 1/p thinning
+      (both copies of a window share its hash, so survivors still
+      collide). Detection becomes probabilistic: a duplicated region
+      containing m anchored windows is missed with probability
+      (1 - 1/p)^m, i.e. vanishing for the long regions exact-substring
+      dedup targets. Coverage/ratio then measure the sampled subset (a
+      consistent, comparable signal, not the exact char union).
+
+    Defaults (``anchor="char"``, ``sample_mod=1``) are bit-identical to
+    the original operator and keep the exact-coverage semantics the
+    ``dup_span_signals`` oracle pins; the corpus-scale configuration is
+    ``anchor="token", sample_mod=p`` (oracled separately as
+    ``dup_span_signals_token``).
     """
     from payor_mdm_spark.functions.textnorm import md5_60bit
 
+    if anchor not in ("char", "token"):
+        raise ValueError(f"anchor must be 'char' or 'token', got {anchor!r}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+
     t = F.col(text_col)
     n = F.length(t)
+    starts = F.sequence(F.lit(1), n - (span_len - 1))
+    if anchor == "token":
+        starts = F.filter(
+            starts,
+            lambda i: (i == F.lit(1))
+            | (
+                (t.substr(i - 1, F.lit(1)) == " ")
+                & (t.substr(i, F.lit(1)) != " ")
+            ),
+        )
     windows = F.when(
         n >= span_len,
         F.transform(
-            F.sequence(F.lit(1), n - (span_len - 1)),
+            starts,
             lambda i: F.struct(
                 i.alias("pos"), md5_60bit(t.substr(i, F.lit(span_len))).alias("h")
             ),
         ),
     ).otherwise(F.array())
+    if sample_mod > 1:
+        windows = F.filter(windows, lambda w: w["h"] % sample_mod == 0)
     g = docs.select(
         F.col(id_col), n.alias("_len"), F.explode(windows).alias("_w")
     ).select(id_col, "_len", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("_h"))

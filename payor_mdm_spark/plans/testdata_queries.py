@@ -2328,3 +2328,66 @@ def dup_span_signals(spark, sf_dir):
         F.col("dup_char_coverage").cast("long").alias("dup_char_coverage"),
         "dup_char_ratio",
     )
+
+
+# corpus-scale configuration of the same operator: windows anchored at
+# token boundaries (content-defined — survives cross-doc offset shifts,
+# unlike a fixed char stride) and thinned to hashes == 0 mod 2. Emits
+# O(#tokens / 2) shuffle rows instead of one per character.
+@query(
+    "dup_span_signals_token",
+    """
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000 as doc_id, text || ' tail' as text
+      from documents where doc_id % 7 = 0
+    ), w as (
+      select doc_id, len(text) as n,
+        unnest(list_filter(
+          list_transform(
+            list_filter(range(1, len(text) - 18),
+              i -> i = 1 or (text[i-1:i-1] = ' ' and text[i:i] != ' ')),
+            i -> struct_pack(pos := i,
+                   h := ('0x' || substr(md5(text[i:i+19]), 1, 15))::BIGINT)),
+          s -> s.h % 2 = 0)) as p
+      from corpus where len(text) >= 20
+    ), hot as (
+      select p.h as h from w group by p.h having count(*) > 1
+    ), dup as (
+      select doc_id, n, p.pos as pos from w
+      where p.h in (select h from hot)
+    ), per_doc as (
+      select doc_id, n, count(*) as n_dup_spans,
+             list_sort(list(pos)) as ps
+      from dup group by doc_id, n
+    ), cov as (
+      select doc_id, n, n_dup_spans,
+        20 + coalesce(list_sum(list_transform(range(1, len(ps)),
+               i -> least(20, ps[i+1] - ps[i]))), 0) as coverage
+      from per_doc
+    )
+    select c.doc_id,
+      coalesce(v.n_dup_spans, 0) as n_dup_spans,
+      coalesce(v.coverage, 0) as dup_char_coverage,
+      coalesce(round(cast(v.coverage as double) / v.n, 4), 0.0) as dup_char_ratio
+    from corpus c left join cov v on v.doc_id = c.doc_id
+    """,
+)
+def dup_span_signals_token(spark, sf_dir):
+    from payor_mdm_spark.operators.text_analysis import duplicate_span_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    out = duplicate_span_signals(corpus, span_len=20, anchor="token", sample_mod=2)
+    return out.select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("dup_char_coverage").cast("long").alias("dup_char_coverage"),
+        "dup_char_ratio",
+    )

@@ -1002,3 +1002,74 @@ class TestDuplicateSpans:
         got = {r.doc_id: r for r in duplicate_span_signals(docs, span_len=20).collect()}
         assert got[1].n_dup_spans == 7
         assert got[1].dup_char_coverage == 26
+
+    def test_token_anchor_detects_misaligned_duplicates(self, spark):
+        """The content-defined anchoring property (VERDICT r03 item 2):
+        a duplicated region at DIFFERENT char offsets in two docs (so a
+        fixed char stride k>1 would sample disjoint window sets) is still
+        detected, because token boundaries are recomputed from the shared
+        content itself."""
+        from payor_mdm_spark.operators.text_analysis import duplicate_span_signals
+
+        region = "the shared duplicated sentence is exactly this one here"
+        docs = spark.createDataFrame(
+            [
+                # offsets into the doc differ by 3 (not a multiple of any
+                # plausible stride alignment): "a b " vs "corpus "
+                (1, f"a b {region} trailing words one"),
+                (2, f"corpus {region} other tail text"),
+                (3, "entirely unrelated filler content with nothing shared"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r
+            for r in duplicate_span_signals(
+                docs, span_len=20, anchor="token"
+            ).collect()
+        }
+        # every token-start window inside the region duplicates in both
+        # copies; the region is 56 chars -> token starts at offsets
+        # 0,4,11,22,31,34,42,46 of which those <= 56-20=36 yield windows
+        assert got[1].n_dup_spans >= 5 and got[2].n_dup_spans >= 5
+        assert got[1].dup_char_coverage >= len(region) - 20
+        assert got[3].n_dup_spans == 0
+
+    def test_token_anchor_subset_and_sampling(self, spark):
+        """Token-anchored windows are a subset of char-anchored ones, and
+        sample_mod thins deterministically: every sampled dup position is
+        also a token-mode dup position, and counts shrink monotonically
+        char >= token >= sampled."""
+        from payor_mdm_spark.operators.text_analysis import duplicate_span_signals
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [(1, f"{base} first copy marker"), (2, f"{base} second copy tag")],
+            "doc_id long, text string",
+        )
+        char = {r.doc_id: r for r in duplicate_span_signals(docs, span_len=20).collect()}
+        tok = {
+            r.doc_id: r
+            for r in duplicate_span_signals(docs, span_len=20, anchor="token").collect()
+        }
+        samp = {
+            r.doc_id: r
+            for r in duplicate_span_signals(
+                docs, span_len=20, anchor="token", sample_mod=2
+            ).collect()
+        }
+        for d in (1, 2):
+            assert char[d].n_dup_spans >= tok[d].n_dup_spans >= samp[d].n_dup_spans
+            assert tok[d].n_dup_spans > 0  # the shared prefix is token-aligned
+            assert char[d].dup_char_coverage >= tok[d].dup_char_coverage
+
+    def test_invalid_params_fail_fast(self, spark):
+        import pytest as _pytest
+
+        from payor_mdm_spark.operators.text_analysis import duplicate_span_signals
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="anchor"):
+            duplicate_span_signals(docs, anchor="stride")
+        with _pytest.raises(ValueError, match="sample_mod"):
+            duplicate_span_signals(docs, sample_mod=0)
