@@ -496,6 +496,26 @@ class TestTfidf:
         # 'common' appears in every doc -> idf = ln(1) = 0
         assert got[(3, 1)].tfidf == 0.0
 
+    def test_no_driver_side_count_job(self, spark):
+        """VERDICT r03 item 6: corpus size N is a broadcast scalar inside
+        the one query plan, not a second full-scan count job — building
+        the frame must run ZERO jobs (the old code ran a distinct().count()
+        at construction time)."""
+        from payor_mdm_spark.operators.text_analysis import tfidf_top_terms
+
+        sc = spark.sparkContext
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+        )
+        sc.setJobGroup("tfidf_build", "construction only")
+        df = tfidf_top_terms(docs, k=1)
+        n_build = len(sc.statusTracker().getJobIdsForGroup("tfidf_build"))
+        sc.setJobGroup("", "")
+        assert n_build == 0, "operator construction must be fully lazy"
+        # and the folded-in N still yields correct idf: N=2, df(alpha)=2
+        got = {r.doc_id: r for r in df.collect()}
+        assert got[1].term == "beta" and got[2].term == "gamma"
+
 
 class TestWavHeaderSniff:
     @staticmethod
