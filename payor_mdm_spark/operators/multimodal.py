@@ -324,13 +324,52 @@ def sniff_mp3_header(
     return "audio/mpeg", channels, rate, None, duration_ms, "ok"
 
 
+def sniff_flac_header(
+    b: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, str]:
+    """Parse (mime, channels, sample_rate, bits, duration_ms, status) from
+    FLAC bytes: 'fLaC' magic, then the metadata-block list to STREAMINFO
+    (type 0), whose tail packs sample-rate(20b) / channels-1(3b) /
+    bits-1(5b) / total-samples(36b) into one big-endian 64-bit field. Pure
+    byte layout, no codec library."""
+    b = b or b""
+    if b[:4] != b"fLaC":
+        return None, None, None, None, None, "unknown"
+    i = 4
+    while i + 4 <= len(b):
+        block_type = b[i] & 0x7F
+        last = bool(b[i] & 0x80)
+        size = int.from_bytes(b[i + 1 : i + 4], "big")
+        s = i + 4
+        if block_type == 0:  # STREAMINFO
+            if s + 18 > len(b):
+                return "audio/flac", None, None, None, None, "truncated"
+            packed = int.from_bytes(b[s + 10 : s + 18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if not rate:
+                return "audio/flac", None, None, None, None, "truncated"
+            duration_ms = (total * 1000) // rate if total else None
+            return "audio/flac", channels, rate, bits, duration_ms, "ok"
+        if last:
+            break
+        i = s + size
+    return "audio/flac", None, None, None, None, "truncated"
+
+
 def sniff_audio_header(
     b: bytes | None,
 ) -> tuple[str | None, int | None, int | None, int | None, int | None, str]:
-    """Container dispatch: RIFF/WAVE chunk walk, else MPEG frame sync."""
+    """Container dispatch: RIFF/WAVE chunk walk, FLAC STREAMINFO, else
+    MPEG frame sync."""
     wav = sniff_wav_header(b)
     if wav[0] is not None:
         return wav
+    flac = sniff_flac_header(b)
+    if flac[0] is not None:
+        return flac
     return sniff_mp3_header(b)
 
 
@@ -365,6 +404,7 @@ VIDEO_HEADER_SCHEMA = StructType(
         StructField("major_brand", StringType()),
         StructField("duration_ms", LongType()),
         StructField("track_count", IntegerType()),
+        StructField("codecs", StringType()),  # comma-joined stsd entry ids
         StructField("header_ok", StringType()),
     ]
 )
@@ -392,20 +432,46 @@ def _walk_boxes(b: bytes, start: int, end: int):
         i += size
 
 
+def _stsd_codec_ids(b: bytes, trak_start: int, trak_end: int) -> list[str]:
+    """Codec sample-entry ids of one 'trak': descend the fixed
+    trak -> mdia -> minf -> stbl chain to 'stsd', whose payload is
+    version+flags(4) + entry_count(4) followed by sample-entry BOXES whose
+    4-char type IS the codec id ('avc1', 'hev1', 'mp4a', ...)."""
+    span = (trak_start, trak_end)
+    for child in (b"mdia", b"minf", b"stbl"):
+        found = None
+        for typ, ps, pe in _walk_boxes(b, *span):
+            if typ == child:
+                found = (ps, pe)
+                break
+        if found is None:
+            return []
+        span = found
+    for typ, ps, pe in _walk_boxes(b, *span):
+        if typ == b"stsd" and pe - ps >= 8:
+            return [
+                etyp.decode("ascii", "replace").strip()
+                for etyp, _, _ in _walk_boxes(b, ps + 8, pe)
+            ]
+    return []
+
+
 def sniff_mp4_boxes(
     b: bytes | None,
-) -> tuple[str | None, str | None, int | None, int | None, str]:
-    """Parse (mime, major_brand, duration_ms, track_count, status) from
-    ISO-BMFF (MP4/MOV) bytes: top-level box walk to 'ftyp' (major brand)
-    and 'moov', then into 'mvhd' (timescale + duration, version 0/1
-    layouts) and the 'trak' children. Pure byte layout, no codec library —
-    the same class as the PNG/JPEG/GIF and RIFF/WAVE parsing."""
+) -> tuple[str | None, str | None, int | None, int | None, str | None, str]:
+    """Parse (mime, major_brand, duration_ms, track_count, codecs, status)
+    from ISO-BMFF (MP4/MOV) bytes: top-level box walk to 'ftyp' (major
+    brand) and 'moov', then into 'mvhd' (timescale + duration, version 0/1
+    layouts) and each 'trak' child's stbl/stsd sample-entry codec ids.
+    Pure byte layout, no codec library — the same class as the
+    PNG/JPEG/GIF and RIFF/WAVE parsing."""
     b = b or b""
     if len(b) < 12 or b[4:8] != b"ftyp":
-        return None, None, None, None, "unknown"
+        return None, None, None, None, None, "unknown"
     brand = None
     duration_ms = None
     tracks = None
+    codecs: list[str] = []
     for typ, ps, pe in _walk_boxes(b, 0, len(b)):
         if typ == b"ftyp" and pe - ps >= 4:
             brand = b[ps : ps + 4].decode("ascii", "replace").strip()
@@ -414,6 +480,7 @@ def sniff_mp4_boxes(
             for ityp, ips, ipe in _walk_boxes(b, ps, pe):
                 if ityp == b"trak":
                     tracks += 1
+                    codecs.extend(_stsd_codec_ids(b, ips, ipe))
                 elif ityp == b"mvhd" and ipe - ips >= 4:
                     version = b[ips]
                     if version == 1 and ipe - ips >= 32:
@@ -427,8 +494,11 @@ def sniff_mp4_boxes(
                     if scale:
                         duration_ms = (dur * 1000) // scale
     if duration_ms is None and tracks is None:
-        return "video/mp4", brand, None, None, "truncated"
-    return "video/mp4", brand, duration_ms, tracks, "ok"
+        return "video/mp4", brand, None, None, None, "truncated"
+    return (
+        "video/mp4", brand, duration_ms, tracks,
+        ",".join(codecs) if codecs else None, "ok",
+    )
 
 
 def sniff_video_headers(media: DataFrame) -> DataFrame:
@@ -445,7 +515,8 @@ def sniff_video_headers(media: DataFrame) -> DataFrame:
                     "major_brand": parsed.map(lambda t: t[1]),
                     "duration_ms": parsed.map(lambda t: t[2]).astype("Int64"),
                     "track_count": parsed.map(lambda t: t[3]).astype("Int32"),
-                    "header_ok": parsed.map(lambda t: t[4]),
+                    "codecs": parsed.map(lambda t: t[4]),
+                    "header_ok": parsed.map(lambda t: t[5]),
                 }
             )
 

@@ -601,7 +601,25 @@ class TestMp3HeaderSniff:
 
 class TestMp4BoxWalk:
     @staticmethod
-    def _mp4(timescale=1000, duration=3500, tracks=2, mvhd_version=0):
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+    @classmethod
+    def _trak(cls, codec: bytes | None) -> bytes:
+        if codec is None:
+            return (8).to_bytes(4, "big") + b"trak"
+        # sample entry: a box whose TYPE is the codec id
+        entry = cls._box(codec, b"\x00" * 8)
+        stsd = cls._box(
+            b"stsd", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big") + entry
+        )
+        return cls._box(
+            b"trak", cls._box(b"mdia", cls._box(b"minf", cls._box(b"stbl", stsd)))
+        )
+
+    @classmethod
+    def _mp4(cls, timescale=1000, duration=3500, tracks=2, mvhd_version=0,
+             codecs=None):
         ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
         if mvhd_version == 0:
             payload = (
@@ -618,23 +636,36 @@ class TestMp4BoxWalk:
                 + timescale.to_bytes(4, "big")
                 + duration.to_bytes(8, "big")
             )
-        mvhd = (8 + len(payload)).to_bytes(4, "big") + b"mvhd" + payload
-        trak = (8).to_bytes(4, "big") + b"trak"
-        moov_body = mvhd + trak * tracks
-        moov = (8 + len(moov_body)).to_bytes(4, "big") + b"moov" + moov_body
+        mvhd = cls._box(b"mvhd", payload)
+        if codecs is None:
+            traks = cls._trak(None) * tracks
+        else:
+            traks = b"".join(cls._trak(c) for c in codecs)
+        moov = cls._box(b"moov", mvhd + traks)
         return ftyp + moov
 
     def test_parse_v0_and_v1(self):
         from payor_mdm_spark.operators.multimodal import sniff_mp4_boxes
 
-        mime, brand, dur, tracks, ok = sniff_mp4_boxes(self._mp4())
+        mime, brand, dur, tracks, codecs, ok = sniff_mp4_boxes(self._mp4())
         assert (mime, brand, dur, tracks, ok) == ("video/mp4", "isom", 3500, 2, "ok")
+        assert codecs is None  # bare traks carry no stsd
         v1 = sniff_mp4_boxes(self._mp4(timescale=600, duration=1200,
                                        tracks=1, mvhd_version=1))
         assert (v1[2], v1[3]) == (2000, 1)
-        assert sniff_mp4_boxes(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")[4] == "truncated"
-        assert sniff_mp4_boxes(b"not a video")[4] == "unknown"
-        assert sniff_mp4_boxes(None)[4] == "unknown"
+        assert sniff_mp4_boxes(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")[5] == "truncated"
+        assert sniff_mp4_boxes(b"not a video")[5] == "unknown"
+        assert sniff_mp4_boxes(None)[5] == "unknown"
+
+    def test_stsd_codec_ids(self):
+        """VERDICT r03 item 8: codec sample-entry ids via the
+        trak->mdia->minf->stbl->stsd descent."""
+        from payor_mdm_spark.operators.multimodal import sniff_mp4_boxes
+
+        got = sniff_mp4_boxes(self._mp4(codecs=[b"avc1", b"mp4a"]))
+        assert got[3] == 2 and got[4] == "avc1,mp4a" and got[5] == "ok"
+        hevc = sniff_mp4_boxes(self._mp4(tracks=1, codecs=[b"hev1"]))
+        assert hevc[4] == "hev1"
 
     def test_spark_operator(self, spark):
         from payor_mdm_spark.operators.multimodal import (
@@ -653,6 +684,53 @@ class TestMp4BoxWalk:
         assert (got["v1"].major_brand, got["v1"].duration_ms,
                 got["v1"].track_count) == ("isom", 3500, 2)
         assert got["v2"].header_ok == "unknown"
+
+
+class TestFlacHeaderSniff:
+    @staticmethod
+    def _flac(rate=44100, channels=2, bits=16, total_samples=88200,
+              last=True, extra_block_first=False):
+        packed = (
+            (rate << 44)
+            | ((channels - 1) << 41)
+            | ((bits - 1) << 36)
+            | total_samples
+        )
+        streaminfo = (
+            (4096).to_bytes(2, "big") * 2      # min/max blocksize
+            + b"\x00" * 6                        # min/max framesize
+            + packed.to_bytes(8, "big")
+            + b"\x00" * 16                       # md5
+        )
+        si_block = bytes([0x80 if last else 0x00]) + (34).to_bytes(3, "big") + streaminfo
+        head = b"fLaC"
+        if extra_block_first:
+            # a VORBIS_COMMENT-ish block (type 4) before STREAMINFO — the
+            # walk must skip it
+            head += bytes([0x04]) + (6).to_bytes(3, "big") + b"\x00" * 6
+        return head + si_block
+
+    def test_streaminfo_fields(self):
+        from payor_mdm_spark.operators.multimodal import sniff_flac_header
+
+        mime, ch, rate, bits, dur, ok = sniff_flac_header(self._flac())
+        assert (mime, ch, rate, bits, dur, ok) == (
+            "audio/flac", 2, 44100, 16, 2000, "ok"
+        )
+        mono = sniff_flac_header(
+            self._flac(rate=16000, channels=1, bits=24, total_samples=16000)
+        )
+        assert (mono[1], mono[2], mono[3], mono[4]) == (1, 16000, 24, 1000)
+        skip = sniff_flac_header(self._flac(last=False, extra_block_first=True))
+        assert skip[5] == "ok" and skip[2] == 44100
+        assert sniff_flac_header(b"fLaC")[5] == "truncated"
+        assert sniff_flac_header(b"OggS etc")[0] is None
+
+    def test_dispatch_routes_flac(self):
+        from payor_mdm_spark.operators.multimodal import sniff_audio_header
+
+        got = sniff_audio_header(self._flac())
+        assert got[0] == "audio/flac" and got[5] == "ok"
 
 
 class TestCorpusLineCleanup:
