@@ -253,6 +253,28 @@ def _mk_address(rng: random.Random) -> str:
     return f"{rng.randint(100, 9999)} {name} {rng.choice(_STREET_TYPES)}"
 
 
+def _synthetic_base(si: int) -> str:
+    """Collision-free base name for synthetic family ``si`` from a geo x
+    adj x noun grid (6,000 bases; a second geo prefix extends it to
+    150,000; a numeric generation suffix beyond that — millions of
+    families). Distinct entities get names that differ in at least one
+    content WORD — matching the reference world, where distinct payors
+    have materially distinct names (payor_families.json) — rather than
+    digit-suffix near-clones whose pairwise similarity would grow
+    adversarial with world size. Pure function of ``si`` (no rng), shared
+    by the sequential and sharded generators."""
+    geo = _ORG_GEO[si % len(_ORG_GEO)]
+    adj = _ORG_ADJ[(si // len(_ORG_GEO)) % len(_ORG_ADJ)]
+    noun = _ORG_NOUN[(si // (len(_ORG_GEO) * len(_ORG_ADJ))) % len(_ORG_NOUN)]
+    gen = si // (len(_ORG_GEO) * len(_ORG_ADJ) * len(_ORG_NOUN))
+    base = f"{geo} {adj} {noun}"
+    if gen > 0:
+        base = f"{_ORG_GEO[(gen - 1) % len(_ORG_GEO)]} {base}"
+        if gen > len(_ORG_GEO):
+            base = f"{base} {gen}"
+    return base
+
+
 def build_entities(rng: random.Random, n_entities: int = 65) -> list[Entity]:
     """Curated abbreviation/hierarchy families first, then numbered synthetic
     families until n_entities is reached."""
@@ -318,22 +340,7 @@ def build_entities(rng: random.Random, n_entities: int = 65) -> list[Entity]:
     si = 0
     while len(entities) < n_entities:
         fam_id = f"syn-{si:05d}"
-        # collision-free base name from a geo x adj x noun grid (6,000
-        # bases; a second geo prefix extends it to 150,000 for bench-scale
-        # worlds). Distinct entities get names that differ in at least one
-        # content WORD — matching the reference world, where distinct
-        # payors have materially distinct names (payor_families.json) —
-        # rather than digit-suffix near-clones whose pairwise similarity
-        # would grow adversarial with world size.
-        geo = _ORG_GEO[si % len(_ORG_GEO)]
-        adj = _ORG_ADJ[(si // len(_ORG_GEO)) % len(_ORG_ADJ)]
-        noun = _ORG_NOUN[(si // (len(_ORG_GEO) * len(_ORG_ADJ))) % len(_ORG_NOUN)]
-        gen = si // (len(_ORG_GEO) * len(_ORG_ADJ) * len(_ORG_NOUN))
-        base = f"{geo} {adj} {noun}"
-        if gen > 0:
-            base = f"{_ORG_GEO[(gen - 1) % len(_ORG_GEO)]} {base}"
-            if gen > len(_ORG_GEO):
-                base = f"{base} {gen}"
+        base = _synthetic_base(si)
         fam_tax = _mk_tax(rng)
         n_children = rng.randint(1, 3)
         parent_name = base if n_children > 1 and rng.random() < 0.4 else None
@@ -589,6 +596,267 @@ def world_to_tables(world: World):
     tcols = {k: [r[k] for r in world.truth] for k in ("conv_id", "entity_id", "family_id", "source_tag")}
     truth = pa.Table.from_pydict(tcols, schema=truth_schema)
     return turns, truth
+
+
+# ---------------------------------------------------------------------------
+# Sharded generation (distributed worlds — VERDICT r03 item 3)
+#
+# The sequential generate_world threads ONE rng through the whole world, so
+# it cannot parallelize and caps F1/bench evidence near 100k entities. The
+# sharded scheme below re-keys randomness per (seed, shard): each shard owns
+# a contiguous range of FAMILY indices (curated families are global indices
+# 0..7, synthetic families use the same _synthetic_base grid), entity ids
+# come from a fixed per-family stride, and conv ids embed the entity id —
+# so any shard can be generated independently, executor-side, with no
+# cross-shard state. The driver-side twin (sharded_world_tables) is the
+# same per-shard calls concatenated, which makes distributed == driver
+# bit-equal BY CONSTRUCTION and testable. generate_world stays untouched:
+# golden fixtures pin its exact stream.
+# ---------------------------------------------------------------------------
+
+FAMILY_ID_STRIDE = 8  # entity-id slots per family (max parent + 4 children)
+
+TURNS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+TRUTH_DDL = "conv_id string, entity_id long, family_id string, source_tag string"
+
+
+def generate_world_shard(
+    seed: int,
+    shard_id: int,
+    families_per_shard: int,
+    n_families: int,
+    within_source_dup_p: float = 0.05,
+    orphan_range: tuple[int, int] = (5, 8),
+    confusion_per_shard: int = 2,
+) -> World:
+    """Generate ONE shard (family range) of a sharded world.
+
+    Randomness is keyed on (seed, shard_id) only; entity ids are
+    ``family_index * FAMILY_ID_STRIDE + slot + 1`` and conv ids embed the
+    entity id, so shards compose without collisions. Orphans and
+    parent/child-confusion records are emitted per shard (density scales
+    with world size, unlike the fixed-count sequential path)."""
+    rng = random.Random(f"shard:{seed}:{shard_id}")
+    world = World()
+    f_lo = shard_id * families_per_shard
+    f_hi = min(f_lo + families_per_shard, n_families)
+    if f_lo >= f_hi:
+        return world
+
+    def add(fi: int, slot: int, name: str, family_id: str, *,
+            parent_name: str | None, is_parent: bool, tax: str | None,
+            state: str | None = None, cms: str | None = None,
+            dba: str | None = None) -> Entity:
+        st = state or rng.choice(_STATES)
+        ent = Entity(
+            entity_id=fi * FAMILY_ID_STRIDE + slot + 1,
+            family_id=family_id,
+            name=name,
+            tax_id=tax,
+            state=st,
+            city=_mk_city(rng) if rng.random() < 0.7 else rng.choice(_CITY_WORDS),
+            address=_mk_address(rng),
+            zip=_mk_zip(rng),
+            phone=_mk_phone(rng),
+            website=(
+                "https://www."
+                + name.lower().replace(" ", "").replace(",", "").replace("/", "")[:20]
+                + ".com"
+            ),
+            entity_type=rng.choice(["commercial", "medicare", "medicaid", "exchange"]),
+            lob=rng.choice(["PPO", "HMO", "EPO", "POS"]),
+            is_parent=is_parent,
+            parent_name=parent_name,
+            is_active=rng.random() > 0.08,
+            effective_date=f"{2000 + rng.randint(0, 20)}-{rng.randint(1, 12):02d}-01",
+            dba=dba,
+            cms_plan_id=cms,
+            npi=f"1{rng.randint(100000000, 999999999)}" if rng.random() < 0.25 else None,
+        )
+        world.entities.append(ent)
+        return ent
+
+    for fi in range(f_lo, f_hi):
+        if fi < len(_CURATED_FAMILIES):
+            fam = _CURATED_FAMILIES[fi]
+            fam_id = f"fam-{fi:03d}"
+            fam_tax = _mk_tax(rng)
+            slot = 0
+            parent = fam.get("parent")
+            if parent:
+                add(fi, slot, parent, fam_id, parent_name=None,
+                    is_parent=True, tax=fam_tax)
+                slot += 1
+            if fam.get("bcbs"):
+                children = [
+                    f"{fam['children_base']} of {_CODE_TO_NAME[s]}"
+                    for s in fam["states"]
+                ]
+            else:
+                children = fam.get("children", [])
+            for ch in children:
+                cms = (
+                    f"H{rng.randint(1000, 9999)}-{rng.randint(1, 99):03d}"
+                    if rng.random() < 0.5 else None
+                )
+                dba = (
+                    ch.split(" of ")[0]
+                    if (" of " in ch and rng.random() < 0.3) else None
+                )
+                add(fi, slot, ch, fam_id, parent_name=parent, is_parent=False,
+                    tax=_mk_tax(rng), cms=cms, dba=dba)
+                slot += 1
+        else:
+            si = fi - len(_CURATED_FAMILIES)
+            fam_id = f"syn-{si:07d}"
+            base = _synthetic_base(si)
+            fam_tax = _mk_tax(rng)
+            n_children = rng.randint(1, 3)
+            parent_name = base if n_children > 1 and rng.random() < 0.4 else None
+            slot = 0
+            used_states: set[str] = set()
+            if parent_name:
+                p = add(fi, slot, parent_name, fam_id, parent_name=None,
+                        is_parent=True, tax=fam_tax)
+                slot += 1
+                used_states.add(p.state)
+            for _ in range(n_children):
+                st = rng.choice([s for s in _STATES if s not in used_states])
+                used_states.add(st)
+                child = (
+                    f"{base} of {_CODE_TO_NAME[st]}"
+                    if (parent_name or n_children > 1) else base
+                )
+                cms = (
+                    f"H{rng.randint(1000, 9999)}-{rng.randint(1, 99):03d}"
+                    if rng.random() < 0.4 else None
+                )
+                add(fi, slot, child, fam_id, parent_name=parent_name,
+                    is_parent=False, tax=_mk_tax(rng), state=st, cms=cms)
+                slot += 1
+
+    def emit(ent: Entity, source: str, seq: int, *,
+             name_override: str | None = None, ensure_tax: bool = False) -> None:
+        conv_id = f"conv-{source}-e{ent.entity_id:010d}-{seq}"
+        rows = _conversation(rng, conv_id, source, ent,
+                             conv_seq=ent.entity_id * 4 + seq,
+                             ensure_tax=ensure_tax)
+        if name_override is not None:
+            rows[0]["text"] = rng.choice(
+                [
+                    f"Hi, I'm calling about {name_override}.",
+                    f"Hello, this is a representative of {name_override}.",
+                    f"Account inquiry for {name_override}.",
+                ]
+            )
+        world.turns.extend(rows)
+        world.truth.append(
+            {
+                "conv_id": conv_id,
+                "entity_id": ent.entity_id,
+                "family_id": ent.family_id,
+                "source_tag": source,
+            }
+        )
+
+    shard_entities = list(world.entities)
+    for ent in shard_entities:
+        for source in SOURCES:
+            if rng.random() < SOURCE_PROBS[source]:
+                emit(ent, source, 0)
+                if source == "crm" and rng.random() < within_source_dup_p:
+                    emit(ent, source, 1,
+                         name_override=_name_variant(rng, ent.name, "claims"))
+
+    # orphans: per-shard so density scales with world size; ids live in the
+    # family-index space beyond n_families (bounded by FAMILY_ID_STRIDE)
+    n_orphans = rng.randint(*orphan_range)
+    for i in range(min(n_orphans, FAMILY_ID_STRIDE)):
+        orphan = Entity(
+            entity_id=(n_families + shard_id) * FAMILY_ID_STRIDE + i + 1,
+            family_id=f"orphan-{shard_id:05d}-{i:02d}",
+            name=f"{rng.choice(_ORG_ADJ)}{rng.choice(['field', 'brook', 'gate', 'port'])} "
+                 f"Orphan Plan {shard_id * FAMILY_ID_STRIDE + i}",
+            tax_id=_mk_tax(rng),
+            state=rng.choice(_STATES),
+            city=_mk_city(rng),
+            address=_mk_address(rng),
+            zip=_mk_zip(rng),
+            phone=_mk_phone(rng),
+            website=None,
+            entity_type="commercial",
+            lob="PPO",
+            is_parent=False,
+            parent_name=None,
+            is_active=True,
+            effective_date="2022-01-01",
+            dba=None,
+            cms_plan_id=None,
+            npi=None,
+        )
+        world.entities.append(orphan)
+        emit(orphan, "crm", 0)
+
+    confused = 0
+    for ent in shard_entities:
+        if ent.parent_name and rng.random() < 0.25 and confused < confusion_per_shard:
+            emit(ent, "claims", 2,
+                 name_override=_name_variant(rng, ent.parent_name, "claims"),
+                 ensure_tax=True)
+            confused += 1
+
+    return world
+
+
+def sharded_world_tables(
+    seed: int, n_families: int, families_per_shard: int = 256, **kw
+) -> World:
+    """Driver-side twin of the distributed path: every shard generated
+    locally and concatenated. Used by the bit-equality test and for small
+    sharded worlds without a SparkSession."""
+    import math
+
+    out = World()
+    for s in range(math.ceil(n_families / families_per_shard)):
+        w = generate_world_shard(seed, s, families_per_shard, n_families, **kw)
+        out.turns.extend(w.turns)
+        out.truth.extend(w.truth)
+        out.entities.extend(w.entities)
+    return out
+
+
+def distributed_world(
+    spark, seed: int, n_families: int, families_per_shard: int = 256, **kw
+):
+    """(turns_df, truth_df) generated EXECUTOR-side via mapInPandas over
+    shard ids — one task per shard, no driver materialization, unlocking
+    n >= 1M-entity worlds (VERDICT r03 item 3). Bit-equal to
+    ``sharded_world_tables`` by construction (pinned in
+    tests/test_datagen_sharded.py). Truth regenerates its shards in a
+    second pass — generation is cheap relative to the pipeline, and the
+    two frames are usually both written once to parquet anyway."""
+    import math
+
+    n_shards = math.ceil(n_families / families_per_shard)
+    shards = spark.range(0, n_shards, numPartitions=n_shards)
+
+    def gen(which: int):
+        def fn(batches):
+            for pdf in batches:
+                for sid in pdf["id"].tolist():
+                    w = generate_world_shard(
+                        seed, int(sid), families_per_shard, n_families, **kw
+                    )
+                    yield world_to_tables(w)[which].to_pandas()
+        return fn
+
+    return (
+        shards.mapInPandas(gen(0), TURNS_DDL),
+        shards.mapInPandas(gen(1), TRUTH_DDL),
+    )
 
 
 def write_world(world: World, out_dir: str) -> tuple[str, str]:
