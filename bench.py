@@ -31,13 +31,30 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
     from payor_mdm_spark.plans.pipeline import run_pipeline
     from payor_mdm_spark.sources.catalog import CheckpointStore
 
-    t0 = time.time()
-    world = generate_world(seed=42, n_entities=n_entities)
-    gen_s = time.time() - t0
     d = tempfile.mkdtemp(prefix="bench_er_")
-    turns_path, _ = write_world(world, d)
-    log(f"er: {n_entities} entities, {len(world.truth)} convs, "
-        f"{len(world.turns)} turns (gen {gen_s:.1f}s)")
+    t0 = time.time()
+    if n_entities > 100000:
+        # executor-side sharded generation (r4): the driver-side world
+        # build caps out near 100k entities; default bench sizes stay on
+        # the sequential path so their numbers remain round-comparable
+        from payor_mdm_spark.datagen.transcripts import distributed_world
+
+        turns_df, truth_df = distributed_world(
+            spark, 42, max(1, int(n_entities / 2.3))
+        )
+        turns_df.write.mode("overwrite").parquet(os.path.join(d, "turns"))
+        turns_path = os.path.join(d, "turns")
+        n_turns = spark.read.parquet(turns_path).count()
+        log(f"er: ~{n_entities} entities (sharded), {n_turns} turns "
+            f"(gen+write {time.time() - t0:.1f}s)")
+        world_turns = n_turns
+    else:
+        world = generate_world(seed=42, n_entities=n_entities)
+        gen_s = time.time() - t0
+        turns_path, _ = write_world(world, d)
+        log(f"er: {n_entities} entities, {len(world.truth)} convs, "
+            f"{len(world.turns)} turns (gen {gen_s:.1f}s)")
+        world_turns = len(world.turns)
 
     turns = spark.read.parquet(turns_path)
     store = CheckpointStore(spark, os.path.join(d, "ckpt"))
@@ -55,7 +72,7 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
         "er_rows": rows,
         "pairs_scored": pairs,
         "pairs_scored_per_sec": round(pairs / scoring_s, 1),
-        "turns": len(world.turns),
+        "turns": world_turns,
     }
 
 
@@ -125,6 +142,12 @@ def main() -> None:
     t0 = time.time()
     Q["dedup_minhash_lsh"](spark, sf_dir).count()
     query_secs["dedup_minhash_lsh_md5_oracle_mode"] = round(time.time() - t0, 3)
+    # new in r4: exact-substring dup signals in the corpus-scale (token
+    # anchor + mod-2 sampling) configuration — its own key; no stable key
+    # changes meaning
+    t0 = time.time()
+    Q["dup_span_signals_token"](spark, sf_dir).count()
+    query_secs["dup_span_signals_token"] = round(time.time() - t0, 3)
     total = time.time() - t_all
 
     out = {
