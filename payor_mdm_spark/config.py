@@ -74,12 +74,29 @@ AUTO_MATCH_THRESHOLD = 0.85
 REVIEW_THRESHOLD = 0.60
 # Borderline-automatch second factor (precision-tail calibration): FUZZY
 # scores in [AUTO_MATCH_THRESHOLD, BORDERLINE_GEO_CEILING) additionally
-# require NO geographic contradiction (state or city both known and
+# require NO geographic contradiction (state, city, or zip5 both known and
 # different) to auto-match — they demote to review otherwise. Evidence
-# (tools/analyze_fp.py, n=10k/30k worlds): every cross-entity FUZZY edge
-# sits in this band AND carries a state/city contradiction, while zero
-# same-entity edges do, so the gate removes the FP tail at no recall cost.
+# (tools/analyze_fp.py, n=10k/30k/100k worlds): every cross-entity FUZZY
+# edge sits in this band AND carries a geographic contradiction (at n=100k
+# all 18 residual FUZZY FPs were same-city name twins with differing zips),
+# while zero same-entity edges in the band do (every one scored exactly 1.0
+# on address), so the gate removes the FP tail at no recall cost.
 BORDERLINE_GEO_CEILING = 0.93
+
+# Exact-identifier second factor: a DET-1/DET-2 pair (identical tax-id /
+# cms-id analog) normally auto-matches at 1.0, but an identifier can
+# collide across unrelated organizations (typo, reuse, default value — and
+# at 10^8+ records, birthday collisions in a 9-digit id space are
+# *expected*: the n=100k world produced 39 such cross-entity DET edges).
+# When the pair's OTHER evidence contradicts — a geographic contradiction
+# AND a name score below this floor (i.e. the name alone would not clear
+# the fuzzy auto-match bar) — the pair demotes to review instead. Measured
+# (tools/analyze_fp.py, n=100k): catches all 39 collision edges, touches 0
+# same-entity edges (every true DET pair scored ≥0.92 on name OR agreed on
+# geography). DET-3 (same name + same state) is structurally immune: its
+# name score is 1.0. Legacy frames without the geo column keep the
+# reference's unconditional DET auto-match (match_candidates.sql:33-39).
+DET_NAME_FLOOR = AUTO_MATCH_THRESHOLD
 
 # Legal-suffix strip pattern for name normalization
 # (stg_crm_payors.sql:17-26; Snowflake 'i' flag -> inline (?i)).

@@ -19,25 +19,43 @@ from pyspark.sql import functions as F
 from payor_mdm_spark.config import (
     AUTO_MATCH_THRESHOLD,
     BORDERLINE_GEO_CEILING,
+    DET_NAME_FLOOR,
     REVIEW_THRESHOLD,
 )
 from payor_mdm_spark.functions.textnorm import deterministic_id
 
 
-def auto_decision_col(geo_gated: bool = False) -> F.Column:
+def auto_decision_col(geo_gated: bool = False, det_gated: bool = False) -> F.Column:
     """``geo_gated``: apply the borderline second factor — a FUZZY score in
     [AUTO_MATCH_THRESHOLD, BORDERLINE_GEO_CEILING) with a geographic
     contradiction demotes to review (config.BORDERLINE_GEO_CEILING
     rationale; build_candidates enables this when the scored frame carries
-    the geo_contradiction column)."""
+    the geo_contradiction column).
+
+    ``det_gated``: apply the exact-identifier second factor — a DET pair
+    whose geography contradicts AND whose name score sits below
+    config.DET_NAME_FLOOR demotes to review instead of auto-matching
+    (identifier collision/typo/reuse; config.DET_NAME_FLOOR rationale).
+    Enabled when the frame additionally carries score_name."""
+    geo_bad = F.coalesce(F.col("geo_contradiction"), F.lit(False))
     automatch_ok = F.col("overall_score") >= AUTO_MATCH_THRESHOLD
     if geo_gated:
         automatch_ok = automatch_ok & (
-            (F.col("overall_score") >= BORDERLINE_GEO_CEILING)
-            | ~F.coalesce(F.col("geo_contradiction"), F.lit(False))
+            (F.col("overall_score") >= BORDERLINE_GEO_CEILING) | ~geo_bad
         )
+    det = F.col("match_rule").isin("DET-1", "DET-2", "DET-3")
+    decision = F.when(det, "auto_match")
+    if det_gated:
+        det_collision = (
+            det
+            & geo_bad
+            # null-safe: a missing name is absence of evidence, not
+            # contradiction — only an AFFIRMATIVELY weak name demotes
+            & (F.col("score_name") < F.lit(DET_NAME_FLOOR))
+        )
+        decision = F.when(det_collision, "review").when(det, "auto_match")
     return (
-        F.when(F.col("match_rule").isin("DET-1", "DET-2", "DET-3"), "auto_match")
+        decision
         .when(automatch_ok, "auto_match")
         .when(F.col("overall_score") >= REVIEW_THRESHOLD, "review")
         .otherwise("auto_no_match")
@@ -72,7 +90,11 @@ def build_candidates(
         deterministic_id(F.col("source_record_id_a"), F.col("source_record_id_b")),
     ).withColumn(
         "auto_decision",
-        auto_decision_col(geo_gated="geo_contradiction" in scored.columns),
+        auto_decision_col(
+            geo_gated="geo_contradiction" in scored.columns,
+            det_gated="geo_contradiction" in scored.columns
+            and "score_name" in scored.columns,
+        ),
     )
 
     if steward_decisions is not None:

@@ -81,17 +81,24 @@ def add_geo_contradiction(scored: DataFrame, staged: DataFrame) -> DataFrame:
     Recomputed from staged rather than defaulted to false: run_incremental
     only calls this on REUSED pairs, whose staged attributes are by
     construction unchanged, so the recompute is bit-identical to what
-    score_pairs would have produced for them."""
-    slim = staged.select("source_record_id", "state_code", "city")
+    score_pairs would have produced for them. run_incremental also calls it
+    unconditionally (dropping any committed value first) so that a SEMANTIC
+    upgrade of the contradiction definition — e.g. round 4 adding zip5 —
+    reaches pairs committed under the old definition."""
+    if "geo_contradiction" in scored.columns:
+        scored = scored.drop("geo_contradiction")
+    slim = staged.select("source_record_id", "state_code", "city", "zip_code")
     a = slim.select(
         F.col("source_record_id").alias("source_record_id_a"),
         F.col("state_code").alias("_geo_state_code_a"),
         F.col("city").alias("_geo_city_a"),
+        F.col("zip_code").alias("_geo_zip_code_a"),
     )
     b = slim.select(
         F.col("source_record_id").alias("source_record_id_b"),
         F.col("state_code").alias("_geo_state_code_b"),
         F.col("city").alias("_geo_city_b"),
+        F.col("zip_code").alias("_geo_zip_code_b"),
     )
 
     def _mm(field: str) -> F.Column:
@@ -103,9 +110,12 @@ def add_geo_contradiction(scored: DataFrame, staged: DataFrame) -> DataFrame:
 
     return (
         scored.join(a, "source_record_id_a").join(b, "source_record_id_b")
-        .withColumn("geo_contradiction", _mm("state_code") | _mm("city"))
-        .drop("_geo_state_code_a", "_geo_city_a",
-              "_geo_state_code_b", "_geo_city_b")
+        .withColumn(
+            "geo_contradiction",
+            _mm("state_code") | _mm("city") | _mm("zip_code"),
+        )
+        .drop("_geo_state_code_a", "_geo_city_a", "_geo_zip_code_a",
+              "_geo_state_code_b", "_geo_city_b", "_geo_zip_code_b")
     )
 
 
@@ -157,5 +167,6 @@ def score_pairs(pairs: DataFrame, staged: DataFrame,
         # second factor for borderline automatches: an explicit geographic
         # CONTRADICTION (both sides known, different). Null-safe on purpose —
         # missing geography is absence of evidence, not a contradiction.
-        (_mismatch("state_code") | _mismatch("city")).alias("geo_contradiction"),
+        (_mismatch("state_code") | _mismatch("city") | _mismatch("zip_code"))
+        .alias("geo_contradiction"),
     )

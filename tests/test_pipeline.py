@@ -46,10 +46,19 @@ def test_candidate_contract(pipeline_run):
     assert cand.filter(
         F.col("source_record_id_a") >= F.col("source_record_id_b")
     ).count() == 0
-    # DET rules imply auto_match at 1.0
+    # DET rules imply overall_score 1.0, and auto_match UNLESS the
+    # identifier-collision second factor fired (geo contradiction AND name
+    # below config.DET_NAME_FLOOR -> review; config rationale)
+    from payor_mdm_spark.config import DET_NAME_FLOOR
+
     det = cand.filter(F.col("match_rule") != "FUZZY")
     assert det.filter(F.col("overall_score") != 1.0).count() == 0
-    assert det.filter(F.col("auto_decision") != "auto_match").count() == 0
+    collision = (
+        F.coalesce(F.col("geo_contradiction"), F.lit(False))
+        & (F.col("score_name") < DET_NAME_FLOOR)
+    )
+    assert det.filter(~collision & (F.col("auto_decision") != "auto_match")).count() == 0
+    assert det.filter(collision & (F.col("auto_decision") != "review")).count() == 0
 
 
 def test_match_groups_contract(pipeline_run):
@@ -199,26 +208,71 @@ def test_borderline_geo_gate(spark):
 
     base = {
         "source_record_id_a": "a", "source_record_id_b": "b",
-        "match_rule": "FUZZY",
+        "match_rule": "FUZZY", "score_name": 0.86,
     }
     rows = [
         {**base, "overall_score": 0.86, "geo_contradiction": True},
         {**base, "overall_score": 0.86, "geo_contradiction": False},
         {**base, "overall_score": 0.86, "geo_contradiction": None},  # unknown geo
         {**base, "overall_score": 0.95, "geo_contradiction": True},  # above ceiling
+        # DET second factor (config.DET_NAME_FLOOR): identifier collision =
+        # geo contradiction AND weak name -> review; either factor absent
+        # -> the reference's unconditional DET auto-match
         {**base, "match_rule": "DET-1", "overall_score": 1.0,
-         "geo_contradiction": True},  # DET untouched
+         "geo_contradiction": True, "score_name": 0.62},   # collision -> review
+        {**base, "match_rule": "DET-2", "overall_score": 1.0,
+         "geo_contradiction": True, "score_name": 0.95},   # strong name -> auto
+        {**base, "match_rule": "DET-1", "overall_score": 1.0,
+         "geo_contradiction": False, "score_name": 0.62},  # geo agrees -> auto
+        {**base, "match_rule": "DET-1", "overall_score": 1.0,
+         "geo_contradiction": True, "score_name": None},   # name unknown -> auto
     ]
     df = spark.createDataFrame(
         [(r["source_record_id_a"], r["source_record_id_b"], r["match_rule"],
-          r["overall_score"], r["geo_contradiction"]) for r in rows],
+          r["overall_score"], r["geo_contradiction"], r["score_name"])
+         for r in rows],
         "source_record_id_a string, source_record_id_b string, "
-        "match_rule string, overall_score double, geo_contradiction boolean",
+        "match_rule string, overall_score double, geo_contradiction boolean, "
+        "score_name double",
     )
     got = [r.auto_decision for r in build_candidates(df).collect()]
-    assert got == ["review", "auto_match", "auto_match", "auto_match", "auto_match"]
+    assert got == ["review", "auto_match", "auto_match", "auto_match",
+                   "review", "auto_match", "auto_match", "auto_match"]
 
-    # without the column the gate is off (legacy scored frames)
+    # without the column both gates are off (legacy scored frames)
     legacy = df.drop("geo_contradiction")
     got2 = [r.auto_decision for r in build_candidates(legacy).collect()]
-    assert got2 == ["auto_match"] * 5
+    assert got2 == ["auto_match"] * 8
+
+
+def test_geo_contradiction_includes_zip(spark):
+    """The geographic contradiction covers state, city, AND zip5 (r4: the
+    n=100k FP residue was same-city name twins with differing zips), is
+    null-safe (missing geography is not a contradiction), and
+    add_geo_contradiction OVERWRITES any committed value — so a semantic
+    upgrade of the rule reaches pairs committed under the old rule."""
+    from payor_mdm_spark.operators.scoring import add_geo_contradiction
+
+    staged = spark.createDataFrame(
+        [("r1", "MA", "BOSTON", "02101"),
+         ("r2", "MA", "BOSTON", "02199"),   # same state+city, different zip
+         ("r3", "MA", "BOSTON", None),      # zip unknown
+         ("r4", "MA", "BOSTON", "02101")],
+        "source_record_id string, state_code string, city string, "
+        "zip_code string",
+    )
+    scored = spark.createDataFrame(
+        # committed under the OLD (state|city) rule: all False
+        [("r1", "r2", False), ("r1", "r3", False), ("r1", "r4", False)],
+        "source_record_id_a string, source_record_id_b string, "
+        "geo_contradiction boolean",
+    )
+    got = {
+        (r.source_record_id_a, r.source_record_id_b): r.geo_contradiction
+        for r in add_geo_contradiction(scored, staged).collect()
+    }
+    assert got == {
+        ("r1", "r2"): True,    # zip contradiction (old value overwritten)
+        ("r1", "r3"): False,   # one side unknown -> no contradiction
+        ("r1", "r4"): False,   # full agreement
+    }
