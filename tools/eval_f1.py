@@ -49,8 +49,14 @@ from cell, pred, act
 """
 
 
-def evaluate(n_entities=65, master="local[8]", seed=42, shuffle_partitions=16,
+def evaluate(n_entities=65, master="local[8]", seed=42, shuffle_partitions=None,
              verbose=True, mode="auto"):
+    if shuffle_partitions is None:
+        # scale with the world: ~2k entities of pair-work per task keeps
+        # task memory flat as n grows (the fixed-16 default OOMed the 8 GiB
+        # driver heap at n=300k); floor of 16 preserves the historical
+        # sweep configuration at small n
+        shuffle_partitions = max(16, n_entities // 2000)
     spark = get_spark(master=master, shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     d = tempfile.mkdtemp()
