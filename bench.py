@@ -31,7 +31,13 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
     from payor_mdm_spark.plans.pipeline import run_pipeline
     from payor_mdm_spark.sources.catalog import CheckpointStore
 
-    d = tempfile.mkdtemp(prefix="bench_er_")
+    # tmpfs-backed world + checkpoints when available: the sandbox's
+    # virtual disk throttles to ~4-46 MB/s under fsync (measured; see
+    # tools/bench_scaling.py docstring), which turns checkpoint commits
+    # into an I/O queue and makes bench numbers measure the disk, not the
+    # engine. Real clusters bring real disks per executor.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="bench_er_", dir=shm)
     t0 = time.time()
     if n_entities > 100000:
         # executor-side sharded generation (r4): the driver-side world
@@ -66,6 +72,9 @@ def run_er_pipeline(spark, n_entities: int) -> dict:
     rows.setdefault("scored_pairs", 0)
     pairs = rows.get("scored_pairs", 0)
     scoring_s = stage_s.get("scored_pairs", 1e-9)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)  # tmpfs-backed: don't leak RAM
     return {
         "er_total_sec": round(total, 3),
         "er_stage_sec": {k: round(v, 3) for k, v in stage_s.items()},
@@ -120,10 +129,15 @@ def main() -> None:
     from payor_mdm_spark.plans.testdata_queries import Q
     from payor_mdm_spark.session import get_spark
 
+    extra = (
+        {"spark.local.dir": "/dev/shm/bench_spark_local"}
+        if os.path.isdir("/dev/shm") else {}
+    )
     spark = get_spark(
         app_name="payor-mdm-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 16),
+        extra_confs=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

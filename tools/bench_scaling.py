@@ -7,6 +7,16 @@ N to 4N executors, measured on the declared throughput metric
 parallelism levels in separate JVMs and report throughput at both plus
 efficiency = (T_8 / T_32) / 4.
 
+All inputs, checkpoints and spark.local.dir live on tmpfs (/dev/shm): the
+sandbox's virtual disk is throttled to ~4-46 MB/s under fsync (measured,
+BENCH/BASELINE.md host note), which at higher parallelism turns every
+checkpoint commit and shuffle spill into an I/O queue and INVERTS the
+scaling measurement (local[32] slower than local[2] end-to-end — observed
+when this harness ran against the throttled disk). The quantity under
+test is parallel COMPUTE scaling; a real cluster brings real disks per
+executor, so tmpfs is the faithful stand-in, not a cheat. Memory head-
+room: worlds/pairs/checkpoints for these sizes total < 2 GB vs 93 GB free.
+
 Two measurements, both written to BENCH/BASELINE.md:
 
 1. **Scoring throughput** (the declared metric): the ensemble scoring
@@ -39,7 +49,8 @@ from payor_mdm_spark.functions.ensemble import apply_ensemble
 
 cpus = int(sys.argv[1]); n = int(sys.argv[2]); pairs_path = sys.argv[3]
 spark = get_spark(app_name=f"score{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus, 16))
+                  shuffle_partitions=max(cpus, 16),
+                  extra_confs={"spark.local.dir": "/dev/shm/bench_spark_local"})
 spark.sparkContext.setLogLevel("ERROR")
 df = spark.read.parquet(pairs_path)  # on-disk input: no heap-resident blocks
 # warm-up: start the Python workers + JIT the scan pipeline on a small
@@ -61,7 +72,8 @@ sys.path.insert(0, "/root/repo")
 from payor_mdm_spark.session import get_spark
 import pyspark.sql.functions as F
 n = int(sys.argv[1]); out = sys.argv[2]
-spark = get_spark(app_name="mkpairs", master="local[32]", shuffle_partitions=32)
+spark = get_spark(app_name="mkpairs", master="local[32]", shuffle_partitions=32,
+                  extra_confs={"spark.local.dir": "/dev/shm/bench_spark_local"})
 spark.sparkContext.setLogLevel("ERROR")
 # non-identical, fully distinct names AND addresses (unique street number
 # per pair): forces the full JW/NGR + CMP/NRM kernels on every pair with
@@ -92,10 +104,11 @@ from payor_mdm_spark.sources.catalog import CheckpointStore
 
 cpus = int(sys.argv[1]); turns_path = sys.argv[2]
 spark = get_spark(app_name=f"pipe{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus, 16))
+                  shuffle_partitions=max(cpus, 16),
+                  extra_confs={"spark.local.dir": "/dev/shm/bench_spark_local"})
 spark.sparkContext.setLogLevel("ERROR")
 turns = spark.read.parquet(turns_path); turns.count()
-d = tempfile.mkdtemp(prefix=f"scale{cpus}_")
+d = tempfile.mkdtemp(prefix=f"scale{cpus}_", dir="/dev/shm")
 store = CheckpointStore(spark, os.path.join(d, "ckpt"))
 t0 = time.time()
 res = run_pipeline(spark, turns, store, collect_metrics=True)
@@ -130,7 +143,7 @@ def main() -> None:
     from payor_mdm_spark.datagen.transcripts import generate_world, write_world
 
     world = generate_world(seed=42, n_entities=n_entities)
-    d = tempfile.mkdtemp(prefix="scaling_world_")
+    d = tempfile.mkdtemp(prefix="scaling_world_", dir="/dev/shm")
     turns_path, _ = write_world(world, d)
     pairs_path = os.path.join(d, "score_pairs_input")
     run_snippet(MAKE_PAIRS_SNIPPET, [str(score_pairs), pairs_path])
@@ -151,10 +164,14 @@ def main() -> None:
             r = run_snippet(SCORE_SNIPPET, [str(cpus), str(n_for), pairs_path_small if cpus == 2 else pairs_path])
             score_runs[cpus].append(r)
             print(f"score local[{cpus}]: {r}", file=sys.stderr)
-    for cpus in (2, 8, 32):
-        r = run_snippet(PIPELINE_SNIPPET, [str(cpus), turns_path])
-        pipe_runs[cpus].append(r)
-        print(f"pipeline local[{cpus}]: {r}", file=sys.stderr)
+    for _ in range(2):
+        # interleaved repeats, same rationale as the score runs: a single
+        # sample per config is at the mercy of host-contention windows
+        # (one observed window made local[8] look 2x SLOWER than local[2])
+        for cpus in (2, 8, 32):
+            r = run_snippet(PIPELINE_SNIPPET, [str(cpus), turns_path])
+            pipe_runs[cpus].append(r)
+            print(f"pipeline local[{cpus}]: {r}", file=sys.stderr)
 
     s2 = min(score_runs[2], key=lambda r: r["seconds"])
     s8 = min(score_runs[8], key=lambda r: r["seconds"])
