@@ -1,0 +1,87 @@
+"""Long-horizon scaling sampler: many interleaved throughput samples.
+
+The sandbox's hypervisor co-tenancy makes single measurement windows
+unreliable (observed: 26% steal at full load, per-window capacity swings
+of 2-3x on identical jobs). This tool loops the ensemble-scoring
+throughput measurement over (local[1], local[2], local[4], local[8],
+local[32]) for many interleaved rounds, appending one JSON line per
+sample to BENCH/scaling_samples.jsonl, so the round report can take
+best-of-K per config — the least-contended window each configuration
+actually got — instead of betting the N->4N evidence on one roll.
+
+Inputs/spill live on tmpfs (see bench_scaling.py docstring: the virtual
+disk throttles to ~4-46 MB/s under fsync and would otherwise dominate).
+
+Usage: python tools/scaling_sampler.py [rounds] [pairs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+OUT = "/root/repo/BENCH/scaling_samples.jsonl"
+
+# per-config pair counts: sized so each sample lands in a ~15-60 s window
+# (long enough to average within-window burstiness, short enough to get
+# many windows); throughput is the measured quantity so sizes may differ
+PAIRS_FOR = {1: 4, 2: 4, 4: 4, 8: 1, 32: 1}  # divisor of the base count
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    base_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+
+    src = open("/root/repo/tools/bench_scaling.py").read()
+    ns: dict = {}
+    exec(src.split("def run_snippet")[0], ns)  # just the snippet strings
+    make, score = ns["MAKE_PAIRS_SNIPPET"], ns["SCORE_SNIPPET"]
+
+    os.makedirs("/dev/shm/bench_spark_local", exist_ok=True)
+    d = tempfile.mkdtemp(prefix="sampler_", dir="/dev/shm")
+    paths = {}
+    for div in sorted(set(PAIRS_FOR.values())):
+        p = os.path.join(d, f"pairs_{div}")
+        subprocess.run(
+            [sys.executable, "-c", make, str(base_pairs // div), p],
+            cwd="/root/repo", check=True, capture_output=True,
+        )
+        paths[div] = p
+    print("inputs ready", file=sys.stderr)
+
+    try:
+        with open(OUT, "a") as f:
+            for rnd in range(rounds):
+                for cpus in (1, 2, 4, 8, 32):
+                    div = PAIRS_FOR[cpus]
+                    n = base_pairs // div
+                    out = subprocess.run(
+                        [sys.executable, "-c", score, str(cpus), str(n),
+                         paths[div]],
+                        cwd="/root/repo", capture_output=True, text=True,
+                        timeout=1800,
+                    )
+                    if out.returncode != 0:
+                        print(out.stderr[-1000:], file=sys.stderr)
+                        continue
+                    line = [ln for ln in out.stdout.splitlines()
+                            if ln.startswith("{")][-1]
+                    rec = json.loads(line)
+                    rec["round"] = rnd
+                    rec["ts"] = round(time.time(), 1)
+                    f.write(json.dumps(rec) + "\n")
+                    f.flush()
+                    print(rec, file=sys.stderr)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
