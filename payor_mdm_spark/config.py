@@ -98,6 +98,17 @@ BORDERLINE_GEO_CEILING = 0.93
 # reference's unconditional DET auto-match (match_candidates.sql:33-39).
 DET_NAME_FLOOR = AUTO_MATCH_THRESHOLD
 
+# Kill-switches for the two documented divergences from the reference's
+# plain-threshold decision semantics (match_candidates.sql:33-39). Both
+# gates are calibrated on synthetic seed-42 worlds only (ADVICE r04); on a
+# real distribution where a shared identifier with a renamed+relocated org
+# is legitimate, flip ENABLE_DET_GATE off to restore the reference's
+# unconditional DET auto-match, and re-validate DET_NAME_FLOOR before
+# re-enabling. Read at build_candidates() call time (not import time) so a
+# deployment can toggle them without re-importing the package.
+ENABLE_GEO_GATE = True
+ENABLE_DET_GATE = True
+
 # Legal-suffix strip pattern for name normalization
 # (stg_crm_payors.sql:17-26; Snowflake 'i' flag -> inline (?i)).
 LEGAL_SUFFIX_PATTERN = (

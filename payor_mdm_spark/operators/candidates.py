@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from payor_mdm_spark import config
 from payor_mdm_spark.config import (
     AUTO_MATCH_THRESHOLD,
     BORDERLINE_GEO_CEILING,
@@ -91,8 +92,14 @@ def build_candidates(
     ).withColumn(
         "auto_decision",
         auto_decision_col(
-            geo_gated="geo_contradiction" in scored.columns,
-            det_gated="geo_contradiction" in scored.columns
+            # kill-switches (config.ENABLE_*_GATE, read at call time —
+            # ADVICE r04) AND the columns the gate needs must both be
+            # present; otherwise the reference's plain-threshold
+            # semantics (match_candidates.sql:33-39) apply unchanged.
+            geo_gated=config.ENABLE_GEO_GATE
+            and "geo_contradiction" in scored.columns,
+            det_gated=config.ENABLE_DET_GATE
+            and "geo_contradiction" in scored.columns
             and "score_name" in scored.columns,
         ),
     )

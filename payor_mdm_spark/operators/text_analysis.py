@@ -452,9 +452,13 @@ def tfidf_top_terms(
     # can never creep in unnoticed. The key must be NON-FOLDABLE (a literal
     # key constant-folds to `true` and degenerates back to a nested loop),
     # so both sides derive a zero from a real column; crc32(cast) keeps it
-    # type-agnostic over id_col.
+    # type-agnostic over id_col. coalesce guards a NULL id: crc32(NULL)*0
+    # is NULL, and a NULL equi-join key never matches, which would silently
+    # drop that document's terms from the output.
     def _zero_key(col: Column) -> Column:
-        return (F.crc32(col.cast("string")) * 0).cast("int")
+        return (
+            F.coalesce(F.crc32(col.cast("string")), F.lit(0)) * 0
+        ).cast("int")
 
     n_docs = (
         docs.groupBy(_zero_key(F.col(id_col)).alias("_k"))

@@ -245,6 +245,46 @@ def test_borderline_geo_gate(spark):
     assert got2 == ["auto_match"] * 8
 
 
+def test_legacy_mode_reference_parity(spark, pipeline_run):
+    """VERDICT r04 item 6: with both second-factor gates off,
+    auto_decision_col must reproduce the reference's plain-threshold CASE
+    (match_candidates.sql:33-39) bit-for-bit on the golden seed-42 world's
+    scored pairs — and the config kill-switches (ADVICE r04) must route
+    build_candidates onto exactly that path even when the frame carries
+    the gate columns."""
+    from payor_mdm_spark import config
+    from payor_mdm_spark.operators.candidates import (
+        auto_decision_col,
+        build_candidates,
+    )
+
+    scored = pipeline_run["res"].tables["scored_pairs"]
+    # literal transcription of match_candidates.sql:33-39
+    reference_case = (
+        F.when(
+            F.col("match_rule").isin("DET-1", "DET-2", "DET-3"), "auto_match"
+        )
+        .when(F.col("overall_score") >= 0.85, "auto_match")
+        .when(F.col("overall_score") >= 0.60, "review")
+        .otherwise("auto_no_match")
+    )
+    legacy = scored.withColumn(
+        "legacy", auto_decision_col(geo_gated=False, det_gated=False)
+    ).withColumn("ref", reference_case)
+    assert legacy.filter(F.col("legacy") != F.col("ref")).count() == 0
+    # the world must actually exercise every branch for parity to mean much
+    seen = {r.ref for r in legacy.select("ref").distinct().collect()}
+    assert seen == {"auto_match", "review", "auto_no_match"}
+
+    old = config.ENABLE_GEO_GATE, config.ENABLE_DET_GATE
+    try:
+        config.ENABLE_GEO_GATE = config.ENABLE_DET_GATE = False
+        off = build_candidates(scored).withColumn("ref", reference_case)
+        assert off.filter(F.col("auto_decision") != F.col("ref")).count() == 0
+    finally:
+        config.ENABLE_GEO_GATE, config.ENABLE_DET_GATE = old
+
+
 def test_geo_contradiction_includes_zip(spark):
     """The geographic contradiction covers state, city, AND zip5 (r4: the
     n=100k FP residue was same-city name twins with differing zips), is

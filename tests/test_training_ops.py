@@ -516,6 +516,29 @@ class TestTfidf:
         got = {r.doc_id: r for r in df.collect()}
         assert got[1].term == "beta" and got[2].term == "gamma"
 
+    def test_null_doc_id_not_dropped(self, spark):
+        """ADVICE r04: the constant-key equi join attaching the broadcast
+        corpus-size scalar must be null-safe — crc32(NULL)*0 is NULL and a
+        NULL equi-join key never matches, so a NULL doc_id's terms would
+        silently vanish (the old crossJoin kept them)."""
+        from payor_mdm_spark.operators.text_analysis import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (None, "alpha gamma")],
+            "doc_id long, text string",
+        )
+        rows = tfidf_top_terms(docs, k=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, set()).add(r.term)
+        assert None in by_doc, "NULL-id document dropped by the N-join"
+        assert by_doc[None] == {"alpha", "gamma"}
+        # N counts only distinct non-null ids (count_distinct semantics),
+        # so idf for the unique terms is ln(1/1) = 0 here — value parity
+        # with the pre-rewrite crossJoin path is pinned by the oracle; this
+        # test pins row retention.
+        assert by_doc[1] == {"alpha", "beta"}
+
 
 class TestWavHeaderSniff:
     @staticmethod

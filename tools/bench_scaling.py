@@ -147,9 +147,7 @@ def main() -> None:
     turns_path, _ = write_world(world, d)
     pairs_path = os.path.join(d, "score_pairs_input")
     run_snippet(MAKE_PAIRS_SNIPPET, [str(score_pairs), pairs_path])
-    pairs_path_small = os.path.join(d, "score_pairs_input_small")
-    run_snippet(MAKE_PAIRS_SNIPPET, [str(score_pairs // 4), pairs_path_small])
-    print("pair inputs materialized", file=sys.stderr)
+    print("pair input materialized", file=sys.stderr)
 
     # interleaved repeats + best-of: the sandbox shares CPUs, so single
     # wall-clock samples are noisy; best-of-3 per config with alternating
@@ -158,10 +156,12 @@ def main() -> None:
     pipe_runs: dict[int, list] = {2: [], 8: [], 32: []}
     for _ in range(3):
         for cpus in (2, 8, 32):
-            # local[2] gets a quarter of the pairs so all runs take
-            # comparable wall time; throughput is the measured quantity
-            n_for = score_pairs // 4 if cpus == 2 else score_pairs
-            r = run_snippet(SCORE_SNIPPET, [str(cpus), str(n_for), pairs_path_small if cpus == 2 else pairs_path])
+            # ADVICE r04: every config measures the SAME input — a smaller
+            # input for the smaller config amortizes the fixed per-job cost
+            # over fewer pairs and biases the efficiency ratio upward. The
+            # warm-up inside SCORE_SNIPPET already strips worker startup;
+            # equal inputs strip the rest.
+            r = run_snippet(SCORE_SNIPPET, [str(cpus), str(score_pairs), pairs_path])
             score_runs[cpus].append(r)
             print(f"score local[{cpus}]: {r}", file=sys.stderr)
     for _ in range(2):
@@ -179,7 +179,7 @@ def main() -> None:
     p2 = min(pipe_runs[2], key=lambda r: r["seconds"])
     p8 = min(pipe_runs[8], key=lambda r: r["seconds"])
     p32 = min(pipe_runs[32], key=lambda r: r["seconds"])
-    # N -> 4N on throughput (inputs differ in size for local[2])
+    # N -> 4N on throughput, identical input at every config (ADVICE r04)
     eff_2_8 = (s8["pairs_per_sec"] / s2["pairs_per_sec"]) / 4.0
     score_speedup = s8["seconds"] / s32["seconds"]
     score_eff = score_speedup / 4.0
@@ -227,7 +227,7 @@ addresses, zero memo hits) over parquet-backed candidate pairs:
 
 | config | pairs | wall time (s) | pairs scored/sec |
 | --- | --- | --- | --- |
-| local[2]  | {score_pairs // 4:,} | {s2['seconds']} | {s2['pairs_per_sec']:,.0f} |
+| local[2]  | {score_pairs:,} | {s2['seconds']} | {s2['pairs_per_sec']:,.0f} |
 | local[8]  | {score_pairs:,} | {s8['seconds']} | {s8['pairs_per_sec']:,.0f} |
 | local[32] | {score_pairs:,} | {s32['seconds']} | {s32['pairs_per_sec']:,.0f} |
 
@@ -306,9 +306,20 @@ keeps the redundant candidates on the cheap native branch.
                     f"| {r['n']:,} | {r['seed']} | {r['precision']:.4f} "
                     f"| {r['recall']:.4f} | {r['f1']:.4f} |\n"
                 )
-            f.write("""
-Recall is 1.0 at every point — no true pair is ever missed by the blocking
-recall net. The precision tail was removed in two evidence-driven steps
+            # ADVICE r04: derive the prose claims from the sweep rows so a
+            # future regression can never sit next to a stale sentence
+            min_p = min(r["precision"] for r in sweep)
+            min_r = min(r["recall"] for r in sweep)
+            min_f1 = min(r["f1"] for r in sweep)
+            max_n = max(r["n"] for r in sweep)
+            recall_line = (
+                "Recall is 1.0 at every point — no true pair is ever missed "
+                "by the blocking\nrecall net."
+                if min_r == 1.0
+                else f"Minimum recall across the sweep is {min_r:.4f}."
+            )
+            f.write(f"""
+{recall_line} The precision tail was removed in two evidence-driven steps
 (tools/analyze_fp.py on the n=30k and n=100k worlds):
 
 * Round 3: every cross-entity FUZZY edge sat in the borderline band
@@ -324,7 +335,8 @@ recall net. The precision tail was removed in two evidence-driven steps
   (every true borderline edge scores exactly 1.0 on address; every true
   DET edge has name >= 0.92 or agreeing geography).
 
-Result: precision = recall = F1 = 1.0 at every measured point. Demoted
+Result: minimum precision {min_p:.4f} / recall {min_r:.4f} / F1 {min_f1:.4f}
+across all {len(sweep)} measured points (largest n = {max_n:,}). Demoted
 edges are not discarded — they land in the review queue
 (serving.borderline_automatch_queue remains the audit surface), which is
 the reference's steward workflow for exactly this evidence pattern.

@@ -29,10 +29,11 @@ sys.path.insert(0, "/root/repo")
 
 OUT = "/root/repo/BENCH/scaling_samples.jsonl"
 
-# per-config pair counts: sized so each sample lands in a ~15-60 s window
-# (long enough to average within-window burstiness, short enough to get
-# many windows); throughput is the measured quantity so sizes may differ
-PAIRS_FOR = {1: 4, 2: 4, 4: 4, 8: 1, 32: 1}  # divisor of the base count
+# ADVICE r04: every config measures the SAME input — differing sizes let
+# the smaller-N config amortize fixed per-job cost over fewer pairs and
+# bias the efficiency ratio. Window length is controlled by picking
+# base_pairs, not by shrinking the small-config input.
+PAIRS_FOR = {1: 1, 2: 1, 4: 1, 8: 1, 32: 1}  # divisor of the base count
 
 
 def main() -> None:
