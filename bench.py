@@ -153,9 +153,16 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         query_secs[name] = round(time.time() - t0, 3)
         log(f"query {name}: {n} rows in {query_secs[name]}s")
+    # md5 oracle mode exists for DuckDB value-parity, not throughput; at
+    # sf0.1 it was 19% of the headline sum (VERDICT r04 item 4). Time it at
+    # sf0.01 under a separate top-level key so the headline reflects
+    # production paths while the parity path still gets a measured number.
+    oracle_sf_dir = sf_dir.replace("sf0.1", "sf0.01")
+    if not os.path.isdir(oracle_sf_dir):
+        oracle_sf_dir = sf_dir
     t0 = time.time()
-    Q["dedup_minhash_lsh"](spark, sf_dir).count()
-    query_secs["dedup_minhash_lsh_md5_oracle_mode"] = round(time.time() - t0, 3)
+    Q["dedup_minhash_lsh"](spark, oracle_sf_dir).count()
+    oracle_mode_sec = round(time.time() - t0, 3)
     # new in r4: exact-substring dup signals in the corpus-scale (token
     # anchor + mod-2 sampling) configuration — its own key; no stable key
     # changes meaning
@@ -176,6 +183,7 @@ def main() -> None:
         "pairs_scored": er["pairs_scored"],
         "pairs_scored_per_sec": er["pairs_scored_per_sec"],
         "er_stage_sec": er["er_stage_sec"],
+        "dedup_minhash_md5_oracle_mode_sf001_sec": oracle_mode_sec,
     }
     # fold in the separately-measured evidence (tools/bench_scaling.py and
     # tools/eval_f1.py persist their latest results under BENCH/) so the

@@ -787,6 +787,54 @@ def gopher_filter(
     )
 
 
+def _dup_span_windows(
+    docs: DataFrame,
+    span_len: int,
+    id_col: str,
+    text_col: str,
+    anchor: str,
+    sample_mod: int,
+) -> DataFrame:
+    """The exploded (id, _len, _pos, _h) window frame duplicate_span_signals
+    aggregates — the frame whose row count IS the operator's shuffle volume.
+    Split out so tools/sample_mod_study.py can measure the anchor/sampling
+    knobs' row-thinning on the same code path the operator runs (VERDICT
+    r04 item 7), not on a drift-prone copy of the expression."""
+    from payor_mdm_spark.functions.textnorm import md5_60bit
+
+    if anchor not in ("char", "token"):
+        raise ValueError(f"anchor must be 'char' or 'token', got {anchor!r}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+
+    t = F.col(text_col)
+    n = F.length(t)
+    starts = F.sequence(F.lit(1), n - (span_len - 1))
+    if anchor == "token":
+        starts = F.filter(
+            starts,
+            lambda i: (i == F.lit(1))
+            | (
+                (t.substr(i - 1, F.lit(1)) == " ")
+                & (t.substr(i, F.lit(1)) != " ")
+            ),
+        )
+    windows = F.when(
+        n >= span_len,
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("pos"), md5_60bit(t.substr(i, F.lit(span_len))).alias("h")
+            ),
+        ),
+    ).otherwise(F.array())
+    if sample_mod > 1:
+        windows = F.filter(windows, lambda w: w["h"] % sample_mod == 0)
+    return docs.select(
+        F.col(id_col), n.alias("_len"), F.explode(windows).alias("_w")
+    ).select(id_col, "_len", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("_h"))
+
+
 def duplicate_span_signals(
     docs: DataFrame,
     span_len: int = 20,
@@ -845,39 +893,7 @@ def duplicate_span_signals(
     ``anchor="token", sample_mod=p`` (oracled separately as
     ``dup_span_signals_token``).
     """
-    from payor_mdm_spark.functions.textnorm import md5_60bit
-
-    if anchor not in ("char", "token"):
-        raise ValueError(f"anchor must be 'char' or 'token', got {anchor!r}")
-    if sample_mod < 1:
-        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
-
-    t = F.col(text_col)
-    n = F.length(t)
-    starts = F.sequence(F.lit(1), n - (span_len - 1))
-    if anchor == "token":
-        starts = F.filter(
-            starts,
-            lambda i: (i == F.lit(1))
-            | (
-                (t.substr(i - 1, F.lit(1)) == " ")
-                & (t.substr(i, F.lit(1)) != " ")
-            ),
-        )
-    windows = F.when(
-        n >= span_len,
-        F.transform(
-            starts,
-            lambda i: F.struct(
-                i.alias("pos"), md5_60bit(t.substr(i, F.lit(span_len))).alias("h")
-            ),
-        ),
-    ).otherwise(F.array())
-    if sample_mod > 1:
-        windows = F.filter(windows, lambda w: w["h"] % sample_mod == 0)
-    g = docs.select(
-        F.col(id_col), n.alias("_len"), F.explode(windows).alias("_w")
-    ).select(id_col, "_len", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("_h"))
+    g = _dup_span_windows(docs, span_len, id_col, text_col, anchor, sample_mod)
     hot = g.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") > 1)
     dup = g.join(hot.select("_h"), "_h", "semi")
     per_doc = dup.groupBy(id_col, "_len").agg(

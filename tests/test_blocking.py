@@ -87,3 +87,60 @@ def test_hot_block_salting_caps_pair_blowup(spark):
     )
     n = pairs.count()
     assert 0 < n < 600  # ~6 buckets of ~10 -> ~6 * 45 = 270 expected scale
+
+
+def test_degenerate_block_kill_test(spark):
+    """VERDICT r04 item 8 — adversarial skew measurement: ONE block holds
+    20% of all records (the 'XX'-fill / dominant-name-prefix pathology at
+    corpus scale). The salted join must (a) cut the hot block's pair count
+    to ~cap/blocksize of the unsalted quadratic, and (b) spread the work so
+    no single shuffle partition carries a quadratic share — the
+    deterministic stand-in for 'max task time stays capped'."""
+    from payor_mdm_spark.operators.blocking import _pairs_within_blocks
+
+    n_total, n_hot, cap = 10_000, 2_000, 200
+    hot = [(f"h{i:05d}", "HOTKEY") for i in range(n_hot)]
+    cold = [(f"c{i:05d}", f"K{i % 2000:04d}") for i in range(n_total - n_hot)]
+    members = spark.createDataFrame(
+        [(rid, k) for rid, k in hot + cold], "source_record_id string, _k string"
+    ).repartition(32)
+
+    salted = _pairs_within_blocks(members, ["_k"], "kill", cap)
+    hot_pairs = salted.filter(
+        F.col("source_record_id_a").startswith("h")
+    ).count()
+    # ceil(2000/200) = 10 sub-blocks of ~200 -> ~10 * C(200,2) = 199,000
+    # expected; allow 2x for hash imbalance. Unsalted would be
+    # C(2000,2) = 1,999,000 — an order of magnitude more.
+    unsalted_quadratic = n_hot * (n_hot - 1) // 2
+    assert 0 < hot_pairs < 400_000, hot_pairs
+    assert hot_pairs < unsalted_quadratic / 4
+
+    # every cold 4-record block must still pair exhaustively (salting
+    # touches ONLY blocks above the cap — no recall tax on normal blocks)
+    cold_pairs = salted.filter(
+        F.col("source_record_id_a").startswith("c")
+    ).count()
+    assert cold_pairs == 2000 * (4 * 3 // 2)
+
+    # work distribution: a join task's work grows with the SQUARE of its
+    # largest (key, salt) group, so the per-task quantum is the group
+    # size, not the output partition (AQE legitimately coalesces the tiny
+    # test output into one partition; at scale it would not). Assert the
+    # salting actually splits the 2000-member block into ~cap-sized
+    # groups, allowing 2.5x for xxhash64 bucket imbalance.
+    from payor_mdm_spark.operators.blocking import _hot_blocks, _with_block_salt
+
+    groups = (
+        _with_block_salt(members, _hot_blocks(members, ["_k"], cap), ["_k"], cap)
+        .groupBy("_k", "_salt")
+        .count()
+        .collect()
+    )
+    biggest_group = max(r["count"] for r in groups)
+    assert biggest_group <= 2.5 * cap, (
+        f"largest (key, salt) group holds {biggest_group} members — "
+        f"salting did not bound per-task join work (cap {cap})"
+    )
+    n_hot_groups = sum(1 for r in groups if r["_k"] == "HOTKEY")
+    assert n_hot_groups == 10  # ceil(2000 / 200) sub-blocks

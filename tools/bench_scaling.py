@@ -289,6 +289,79 @@ the reference's 6-char-prefix key on templated payor names — hot blocks
 are already salted at MAX_BLOCK_SIZE, and the DET/FUZZY scoring split
 keeps the redundant candidates on the cheap native branch.
 """)
+        sp_path = "/root/repo/BENCH/pipeline_scale_point.json"
+        if os.path.exists(sp_path):
+            with open(sp_path) as fj:
+                sp = json.load(fj)
+            f.write(f"""
+### 2b. End-to-end at a data-dominated scale (tools/pipeline_scale_point.py)
+
+The small-world end-to-end numbers above are dominated by ~35s of fixed
+per-stage cost. At {sp['n_entities']:,} entities ({sp['turns']:,} turns,
+{sp['pairs']:,} scored pairs — sharded executor-side generation), the
+data-parallel term dominates and end-to-end scaling tracks the kernel:
+
+| config | wall time (s, best of {sp['reps']}) | pairs scored/sec (end-to-end) |
+| --- | --- | --- |
+| local[8]  | {sp['local8_sec_best']} | {sp['local8_pairs_per_sec']:,.0f} |
+| local[32] | {sp['local32_sec_best']} | {sp['local32_pairs_per_sec']:,.0f} |
+
+* **local[8] -> local[32] END-TO-END efficiency = {sp['end_to_end_efficiency_8_to_32']:.3f}**
+  (interleaved ABBA samples: local[8] {sp['local8_samples']},
+  local[32] {sp['local32_samples']})
+""")
+        ab_path = "/root/repo/BENCH/ab_r3_r4.json"
+        if os.path.exists(ab_path):
+            with open(ab_path) as fj:
+                ab = json.load(fj)
+            n_noise = sum(
+                1 for q in ab["per_query"].values() if q["delta_within_noise"]
+            )
+            f.write(f"""
+### 2c. Interleaved checkout A/B (tools/ab_bench.py)
+
+Round-4's bench wall-clock regressed ~20-40% vs round-3 with no hot-path
+code change; to separate host drift from code, the round-3 checkout
+({ab['rev_a']}) and the round-4+ checkout ({ab['rev_b']}) ran the SAME
+harness (tmpfs I/O) alternately (ABBA x{ab['reps']}) in one host session:
+
+* shared-query sum: A median {ab['shared_query_sum_A_median']}s vs
+  B median {ab['shared_query_sum_B_median']}s
+  (delta {ab['shared_sum_delta_pct']:+.1f}%)
+* {n_noise}/{len(ab['per_query'])} shared queries have |median delta|
+  within the within-arm spread — per-query detail in BENCH/ab_r3_r4.json.
+""")
+        sm_path = "/root/repo/BENCH/sample_mod_study.json"
+        if os.path.exists(sm_path):
+            with open(sm_path) as fj:
+                sm = json.load(fj)
+            f.write(
+                "\n### 2d. dup-span shuffle-thinning knobs "
+                "(tools/sample_mod_study.py)\n\n"
+                f"Seeded corpus: {sm['n_docs']:,} docs, {sm['n_plants']} "
+                "passages each planted into two docs at different offsets "
+                "(plant lengths ~45/~130/~430 chars). Exploded-window rows "
+                "= the operator's shuffle volume; detection = both copies "
+                "report n_dup_spans > 0.\n\n"
+                "| anchor | sample_mod | exploded rows | vs char baseline "
+                "| detected | missed |\n| --- | --- | --- | --- | --- | --- |\n"
+            )
+            for c in sm["configs"]:
+                f.write(
+                    f"| {c['anchor']} | {c['sample_mod']} "
+                    f"| {c['exploded_rows']:,} "
+                    f"| {c['rows_vs_char_baseline']:.2%} "
+                    f"| {c['plants_detected']}/{c['plants_total']} "
+                    f"| {c['plants_missed']} |\n"
+                )
+            f.write(
+                "\nObserved misses track the analytical bound "
+                "(1 - 1/p)^m per plant's m anchored windows — per-m detail "
+                "in BENCH/sample_mod_study.json. The misses concentrate "
+                "entirely in the shortest plants; the long regions "
+                "exact-substring dedup targets survive even p=16 at ~200x "
+                "fewer shuffle rows than the char baseline.\n"
+            )
         f1_path = "/root/repo/BENCH/f1_sweep.json"
         if os.path.exists(f1_path):
             with open(f1_path) as fj:
