@@ -301,15 +301,21 @@ per-stage cost. At {sp['n_entities']:,} entities ({sp['turns']:,} turns,
 {sp['pairs']:,} scored pairs — sharded executor-side generation), the
 data-parallel term dominates and end-to-end scaling tracks the kernel:
 
-| config | wall time (s, best of {sp['reps']}) | pairs scored/sec (end-to-end) |
-| --- | --- | --- |
-| local[8]  | {sp['local8_sec_best']} | {sp['local8_pairs_per_sec']:,.0f} |
-| local[32] | {sp['local32_sec_best']} | {sp['local32_pairs_per_sec']:,.0f} |
-
-* **local[8] -> local[32] END-TO-END efficiency = {sp['end_to_end_efficiency_8_to_32']:.3f}**
-  (interleaved ABBA samples: local[8] {sp['local8_samples']},
-  local[32] {sp['local32_samples']})
+| config | wall time (s, best of {sp['reps']}) | pairs scored/sec (end-to-end) | samples |
+| --- | --- | --- | --- |
 """)
+            for c, row in sp["configs"].items():
+                f.write(
+                    f"| local[{c}] | {row['sec_best']} "
+                    f"| {row['pairs_per_sec']:,.0f} | {row['samples']} |\n"
+                )
+            for k, v in sp.items():
+                if k.startswith("end_to_end_efficiency_"):
+                    lo, hi = k.rsplit("_", 3)[1], k.rsplit("_", 1)[-1]
+                    f.write(
+                        f"\n* **local[{lo}] -> local[{hi}] END-TO-END "
+                        f"efficiency = {v:.3f}**\n"
+                    )
         ab_path = "/root/repo/BENCH/ab_r3_r4.json"
         if os.path.exists(ab_path):
             with open(ab_path) as fj:
