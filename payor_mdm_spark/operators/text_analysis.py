@@ -454,10 +454,13 @@ def tfidf_top_terms(
     # so both sides derive a zero from a real column; crc32(cast) keeps it
     # type-agnostic over id_col. coalesce guards a NULL id: crc32(NULL)*0
     # is NULL, and a NULL equi-join key never matches, which would silently
-    # drop that document's terms from the output.
+    # drop that document's terms from the output. The coalesce must wrap
+    # the WHOLE product, not just crc32: coalesce(crc32(x), 0) is
+    # non-nullable, and Catalyst folds non-nullable * 0 to literal 0 —
+    # which re-degenerates the join to a nested loop.
     def _zero_key(col: Column) -> Column:
-        return (
-            F.coalesce(F.crc32(col.cast("string")), F.lit(0)) * 0
+        return F.coalesce(
+            F.crc32(col.cast("string")) * F.lit(0), F.lit(0)
         ).cast("int")
 
     n_docs = (
