@@ -297,9 +297,12 @@ keeps the redundant candidates on the cheap native branch.
 ### 2b. End-to-end at a data-dominated scale (tools/pipeline_scale_point.py)
 
 The small-world end-to-end numbers above are dominated by ~35s of fixed
-per-stage cost. At {sp['n_entities']:,} entities ({sp['turns']:,} turns,
-{sp['pairs']:,} scored pairs — sharded executor-side generation), the
-data-parallel term dominates and end-to-end scaling tracks the kernel:
+per-stage cost; this section re-measures the FULL pipeline at
+{sp['n_entities']:,} entities ({sp['turns']:,} turns,
+{sp['pairs']:,} scored pairs — sharded executor-side generation), where
+the data-parallel term is large enough to be measured against it.
+Best-of-{sp['reps']} per config (palindromic run order; best-of also
+bounds host-contention windows, which only ever slow a sample down):
 
 | config | wall time (s, best of {sp['reps']}) | pairs scored/sec (end-to-end) | samples |
 | --- | --- | --- | --- |
@@ -316,6 +319,57 @@ data-parallel term dominates and end-to-end scaling tracks the kernel:
                         f"\n* **local[{lo}] -> local[{hi}] END-TO-END "
                         f"efficiency = {v:.3f}**\n"
                     )
+            # Amdahl decomposition, DERIVED from the measurements (never
+            # hard-coded prose): least-squares fit of t(c) = f + w/c over
+            # the best-of times — f = cost that does not scale with cores
+            # (driver orchestration, checkpoint commits, convergence-round
+            # latency), w = data-parallel work at 1 core.
+            cfgs = sorted(int(c) for c in sp["configs"])
+            if len(cfgs) >= 2:
+                ts = {c: sp["configs"][str(c)]["sec_best"] for c in cfgs}
+                xs = [1.0 / c for c in cfgs]
+                ys = [ts[c] for c in cfgs]
+                k_ = len(cfgs)
+                xbar, ybar = sum(xs) / k_, sum(ys) / k_
+                denom = sum((x - xbar) ** 2 for x in xs)
+                w_fit = sum(
+                    (x - xbar) * (y - ybar) for x, y in zip(xs, ys)
+                ) / denom
+                f_fit = ybar - w_fit * xbar
+                resid = max(
+                    abs(f_fit + w_fit * x - y) for x, y in zip(xs, ys)
+                )
+                f.write(
+                    f"\nAmdahl fit over the best-of times, t(c) = f + w/c:"
+                    f" fixed f = {f_fit:.0f}s, parallel w = {w_fit:.0f}s"
+                    f" (max residual {resid:.0f}s)."
+                    f" At local[{cfgs[-1]}] the fixed term is"
+                    f" {f_fit / ts[cfgs[-1]] * 100:.0f}% of wall time —"
+                    f" that term is per-JOB, not per-byte: it is invariant"
+                    f" in the input size, so at m x the rows the fitted"
+                    f" end-to-end N->4N efficiency approaches the kernel's."
+                    f" The fit predicts this world's 2->8 efficiency at"
+                    f" {(f_fit + w_fit / 2) / (f_fit + w_fit / 8) / 4:.2f}"
+                    f" and a 10x world's at"
+                    f" {(f_fit + 10 * w_fit / 2) / (f_fit + 10 * w_fit / 8) / 4:.2f}"
+                    f" (holding f, w per the fit).\n"
+                )
+                lo_c, hi_c = str(cfgs[0]), str(cfgs[-1])
+                lo_st = sp["configs"][lo_c].get("stages") or {}
+                hi_st = sp["configs"][hi_c].get("stages") or {}
+                if lo_st and hi_st:
+                    f.write(
+                        f"\nPer-stage seconds at this scale (best run;"
+                        f" speedup = local[{lo_c}] / local[{hi_c}]):\n\n"
+                        f"| stage | local[{lo_c}] | local[{hi_c}] |"
+                        f" speedup |\n| --- | --- | --- | --- |\n"
+                    )
+                    for st in lo_st:
+                        if st in hi_st and hi_st[st]:
+                            f.write(
+                                f"| {st} | {lo_st[st]} | {hi_st[st]} |"
+                                f" {lo_st[st] / hi_st[st]:.1f}x |\n"
+                            )
         ab_path = "/root/repo/BENCH/ab_r3_r4.json"
         if os.path.exists(ab_path):
             with open(ab_path) as fj:
