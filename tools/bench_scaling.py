@@ -134,7 +134,10 @@ def run_snippet(snippet: str, args: list[str]) -> dict:
 
 
 def main() -> None:
-    score_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    # 16M default: at 4M the ~10s fixed per-job cost is ~25% of the
+    # local[8] run and biases the same-input N->4N ratio down; at 16M it
+    # is <2% of the shortest timed leg (the docstring's sizing rule).
+    score_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     n_entities = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
 
     import tempfile

@@ -38,7 +38,9 @@ PAIRS_FOR = {1: 1, 2: 1, 4: 1, 8: 1, 32: 1}  # divisor of the base count
 
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    base_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+    # 16M default, same sizing rule as bench_scaling.py: big enough that
+    # the fixed per-job cost is <2% of the shortest timed leg.
+    base_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
 
     src = open("/root/repo/tools/bench_scaling.py").read()
     ns: dict = {}
