@@ -377,8 +377,30 @@ bounds host-contention windows, which only ever slow a sample down):
         if os.path.exists(ab_path):
             with open(ab_path) as fj:
                 ab = json.load(fj)
-            n_noise = sum(
-                1 for q in ab["per_query"].values() if q["delta_within_noise"]
+            pq = ab["per_query"]
+            n_noise = sum(1 for q in pq.values() if q["delta_within_noise"])
+            n_slower = sum(1 for q in pq.values() if q["delta_pct"] > 0)
+            bo_a = sum(min(q["A_samples"]) for q in pq.values())
+            bo_b = sum(min(q["B_samples"]) for q in pq.values())
+            bo_delta = 100 * (bo_b - bo_a) / bo_a
+            # worst single-sample contention inflation observed inside one
+            # arm (max/min of the same query's samples) — quantifies why
+            # medians of 3 are untrustworthy on this host
+            worst_q, worst_x = max(
+                (
+                    (k, max(s) / min(s))
+                    for k, q in pq.items()
+                    for s in (q["A_samples"], q["B_samples"])
+                ),
+                key=lambda t: t[1],
+            )
+            verdict_line = (
+                f"best-of says checkout B is no slower ({bo_delta:+.1f}%): "
+                "the round-4 'regression' was host contention, not code — "
+                "no culprit commit exists"
+                if bo_delta <= 2.0
+                else f"best-of still shows B {bo_delta:+.1f}% slower — a "
+                "real code delta; bisect the diff"
             )
             f.write(f"""
 ### 2c. Interleaved checkout A/B (tools/ab_bench.py)
@@ -388,11 +410,17 @@ code change; to separate host drift from code, the round-3 checkout
 ({ab['rev_a']}) and the round-4+ checkout ({ab['rev_b']}) ran the SAME
 harness (tmpfs I/O) alternately (ABBA x{ab['reps']}) in one host session:
 
-* shared-query sum: A median {ab['shared_query_sum_A_median']}s vs
-  B median {ab['shared_query_sum_B_median']}s
-  (delta {ab['shared_sum_delta_pct']:+.1f}%)
-* {n_noise}/{len(ab['per_query'])} shared queries have |median delta|
+* shared-query sum, median-of-{ab['reps']}: A {ab['shared_query_sum_A_median']}s vs
+  B {ab['shared_query_sum_B_median']}s
+  (delta {ab['shared_sum_delta_pct']:+.1f}%); {n_slower}/{len(pq)} medians slower in B.
+* shared-query sum, **best-of-{ab['reps']}**: A {bo_a:.2f}s vs B {bo_b:.2f}s
+  (delta {bo_delta:+.1f}%). On a host where contention only ever SLOWS a
+  sample, best-of is the estimator that bounds the code's true cost; the
+  worst observed contention window inflated one sample {worst_x:.1f}x
+  within a single arm ({worst_q}), which is what drags the medians.
+* {n_noise}/{len(pq)} shared queries have |median delta|
   within the within-arm spread — per-query detail in BENCH/ab_r3_r4.json.
+* Conclusion (derived from the numbers above): {verdict_line}.
 """)
         sm_path = "/root/repo/BENCH/sample_mod_study.json"
         if os.path.exists(sm_path):
