@@ -196,6 +196,18 @@ def main() -> None:
         out["kernel_pairs_per_sec_local8"] = sc.get("score_local8_pps")
         out["kernel_pairs_per_sec_local32"] = sc.get("score_local32_pps")
         out["scaling_efficiency_n_to_4n"] = sc.get("scaling_efficiency_2_to_8")
+    # end-to-end N->4N at a data-dominated world size (100k entities, 31M
+    # pairs — tools/pipeline_scale_point.py), where the ~280s fixed per-job
+    # term no longer swamps the data-parallel work (VERDICT r04 item 3)
+    sp_path = os.path.join(here, "BENCH", "pipeline_scale_point.json")
+    if os.path.exists(sp_path):
+        with open(sp_path) as f:
+            sp = json.load(f)
+        out["end_to_end_scale_point_entities"] = sp.get("n_entities")
+        out["end_to_end_scale_point_pairs"] = sp.get("pairs")
+        for k in ("end_to_end_efficiency_2_to_8", "end_to_end_efficiency_8_to_32"):
+            if k in sp:
+                out[k] = sp[k]
     f1_path = os.path.join(here, "BENCH", "f1_sweep.json")
     if os.path.exists(f1_path):
         with open(f1_path) as f:
