@@ -802,7 +802,17 @@ def _dup_span_windows(
     aggregates — the frame whose row count IS the operator's shuffle volume.
     Split out so tools/sample_mod_study.py can measure the anchor/sampling
     knobs' row-thinning on the same code path the operator runs (VERDICT
-    r04 item 7), not on a drift-prone copy of the expression."""
+    r04 item 7), not on a drift-prone copy of the expression.
+
+    Shape (r06): explode-FIRST, then filter/hash as flat column expressions.
+    The previous form built the window list with nested higher-order
+    functions (filter/transform lambdas over a per-char sequence), which
+    Spark evaluates INTERPRETED — per-element object allocation plus an
+    interpreted md5 per window dominated the operator (guide §4.1: prefer
+    codegen'd built-ins). Exploding the start-position sequence first keeps
+    the anchor predicate, the md5_60bit, and the sample_mod filter inside
+    ONE WholeStageCodegen stage; rows entering the shuffle are identical
+    (same positions, same hashes — the explode is map-side either way)."""
     from payor_mdm_spark.functions.textnorm import md5_60bit
 
     if anchor not in ("char", "token"):
@@ -810,32 +820,45 @@ def _dup_span_windows(
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
 
-    t = F.col(text_col)
-    n = F.length(t)
-    starts = F.sequence(F.lit(1), n - (span_len - 1))
-    if anchor == "token":
-        starts = F.filter(
-            starts,
-            lambda i: (i == F.lit(1))
-            | (
-                (t.substr(i - 1, F.lit(1)) == " ")
-                & (t.substr(i, F.lit(1)) != " ")
-            ),
+    from payor_mdm_spark.operators.blocking import _scan_splits_below
+
+    t = F.col("_t")
+    p = F.col("_pos")
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+    ).filter(F.col("_len") >= span_len)
+    # spread the hash-heavy explode across all cores when the source scan
+    # has fewer splits than cores (guide §2.6 idle capacity / §6 input
+    # splits); at scale the scan already has thousands of splits and the
+    # repartition would be pure overhead, so _scan_splits_below skips it
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if _scan_splits_below(base, parallelism):
+        base = base.repartition(parallelism)
+    rows = (
+        base
+        .select(
+            id_col,
+            "_len",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.col("_len") - (span_len - 1))
+            ).alias("_pos"),
         )
-    windows = F.when(
-        n >= span_len,
-        F.transform(
-            starts,
-            lambda i: F.struct(
-                i.alias("pos"), md5_60bit(t.substr(i, F.lit(span_len))).alias("h")
-            ),
-        ),
-    ).otherwise(F.array())
+    )
+    if anchor == "token":
+        rows = rows.filter(
+            (p == F.lit(1))
+            | ((t.substr(p - 1, F.lit(1)) == " ") & (t.substr(p, F.lit(1)) != " "))
+        )
+    rows = rows.select(
+        id_col, "_len", "_pos",
+        md5_60bit(t.substr(p, F.lit(span_len))).alias("_h"),
+    )
     if sample_mod > 1:
-        windows = F.filter(windows, lambda w: w["h"] % sample_mod == 0)
-    return docs.select(
-        F.col(id_col), n.alias("_len"), F.explode(windows).alias("_w")
-    ).select(id_col, "_len", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("_h"))
+        rows = rows.filter(F.col("_h") % sample_mod == 0)
+    return rows
 
 
 def duplicate_span_signals(
@@ -896,7 +919,14 @@ def duplicate_span_signals(
     ``anchor="token", sample_mod=p`` (oracled separately as
     ``dup_span_signals_token``).
     """
-    g = _dup_span_windows(docs, span_len, id_col, text_col, anchor, sample_mod)
+    # eager materialization: the window frame feeds BOTH the corpus-wide
+    # hot-hash aggregation and the semi-join probe side — without it the
+    # (hash-heavy) explode lineage executes twice (guide §5 caching: reused
+    # AND expensive to recompute). The frame is thin (id, len, pos, 8-byte
+    # hash), never the windows themselves.
+    g = _dup_span_windows(
+        docs, span_len, id_col, text_col, anchor, sample_mod
+    ).localCheckpoint(eager=True)
     hot = g.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") > 1)
     dup = g.join(hot.select("_h"), "_h", "semi")
     per_doc = dup.groupBy(id_col, "_len").agg(
