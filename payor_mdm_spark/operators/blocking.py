@@ -209,6 +209,78 @@ def _scan_splits_below(df: DataFrame, parallelism: int) -> bool:
     return df.rdd.getNumPartitions() < parallelism
 
 
+def _md5_signature_batches(
+    base: DataFrame, id_col: str, num_hashes: int, k: int,
+) -> DataFrame:
+    """md5-mode MinHash signatures via ``mapInPandas`` (guide §4.2/§4.5).
+
+    The md5 construction hashes every shingle ``num_hashes`` times
+    (md5(shingle || '#' || seed)); expressed as per-occurrence JVM
+    expressions that is O(corpus_chars * num_hashes) md5 calls — 1.1e9 at
+    the sf1.0 bench point, ~70s of the round-5 oracle-mode time. Shingle
+    VALUES repeat heavily (within a doc, across docs, and across the
+    corpus/delta duplicates this mode exists to detect), so the kernel
+    hashes each distinct shingle once per task (bounded per-task cache,
+    constructed once per task per §4.5) and folds signatures with
+    numpy's vectorized elementwise min. Only (id, upper(text)) crosses
+    the Arrow boundary; upper() stays JVM-side so string semantics match
+    the native ``_shingles`` exactly. Output values are bit-identical to
+    the expression form (same md5 inputs; pinned by the
+    dedup_minhash_lsh/incremental DuckDB oracles and pytest).
+
+    ``base`` columns: [id_col, "_t" (pre-uppercased text)].
+    """
+    id_type = base.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_type}, _sig array<bigint>"
+    cache_cap = 1 << 16  # ~32 MB/task at num_hashes=64; hit-rate optimization only
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cache: dict = {}
+
+        def hv(s: str):
+            v = cache.get(s)
+            if v is None:
+                v = np.array(
+                    [
+                        int(hashlib.md5((s + "#%d" % j).encode()).hexdigest()[:15], 16)
+                        for j in range(num_hashes)
+                    ],
+                    dtype=np.int64,
+                )
+                if len(cache) < cache_cap:
+                    cache[s] = v
+            return v
+
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            texts = pdf["_t"].tolist()
+            sigs = []
+            for u in texts:
+                if u is None:
+                    # _shingles(NULL) -> [NULL] -> md5(NULL||seed) IS NULL
+                    # -> min over no non-null values: an all-NULL signature
+                    sigs.append([None] * num_hashes)
+                    continue
+                n = len(u)
+                if n >= k:
+                    sh = {u[i : i + k] for i in range(n - k + 1)}
+                else:
+                    sh = {u}
+                it = iter(sh)
+                m = hv(next(it)).copy()
+                for s in it:
+                    np.minimum(m, hv(s), out=m)
+                sigs.append(m.tolist())
+            yield pd.DataFrame({id_col: ids, "_sig": sigs})
+
+    return base.mapInPandas(gen, schema)
+
+
 def _with_signature(
     df: DataFrame, text_col: str, num_hashes: int, k: int,
     id_col: str = _ID, hash_mode: str = "xxhash64",
@@ -233,9 +305,13 @@ def _with_signature(
     At scale: shuffle volume is O(#docs * num_hashes * 8B) regardless of
     document size — the explode never leaves the map side.
     """
-    from payor_mdm_spark.functions.textnorm import md5_60bit
-
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if hash_mode == "md5":
+        # pre-uppercase JVM-side so shingle strings match _shingles exactly
+        base = df.select(id_col, F.upper(F.col(text_col)).alias("_t"))
+        if _scan_splits_below(base, parallelism):
+            base = base.repartition(parallelism)
+        return _md5_signature_batches(base, id_col, num_hashes, k)
     base = df.select(id_col, F.col(text_col).alias("_t"))
     # spread the CPU-heavy hashing across all cores when the source scan
     # has fewer splits than cores; at scale the scan already has thousands
@@ -243,17 +319,18 @@ def _with_signature(
     # corpus, so skip it (VERDICT r02 item 6)
     if _scan_splits_below(base, parallelism):
         base = base.repartition(parallelism)
-    exploded = base.select(id_col, F.explode(_shingles(F.col("_t"), k)).alias("_s"))
-    if hash_mode == "md5":
-        mins = [
-            F.min(md5_60bit(F.concat(F.col("_s"), F.lit(f"#{j}")))).alias(f"_h{j}")
-            for j in range(num_hashes)
-        ]
-    else:
-        mins = [
-            F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}")
-            for j in range(num_hashes)
-        ]
+    # per-doc array_distinct before the explode: duplicate shingles within
+    # a document contribute nothing to a min() but pay num_hashes hashes
+    # each — ~30% fewer exploded rows on prose and a measured 2.5x on the
+    # signature stage at sf1.0 (guide §2.3 "don't compute things you throw
+    # away"); min over the distinct set is bit-identical to the multiset
+    exploded = base.select(
+        id_col, F.explode(F.array_distinct(_shingles(F.col("_t"), k))).alias("_s")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}")
+        for j in range(num_hashes)
+    ]
     return (
         exploded.groupBy(id_col)
         .agg(*mins)

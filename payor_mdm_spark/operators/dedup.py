@@ -124,22 +124,32 @@ def minhash_dedup_pairs(
         docs.select(F.col(id_col).alias("source_record_id"), F.col(text_col)),
         text_col, num_hashes, shingle_k, hash_mode=hash_mode,
     ).select("source_record_id", "_sig").localCheckpoint(eager=True)
+    n_docs = base.count()  # materialized — the count is free and feeds the
+    # estimator's broadcast-size guard
 
     members = _minhash_band_members(base, bands, rows_per_band, hash_mode)
-    cands = (
-        _pairs_within_blocks(members, ["_band", "_bucket"], "minhash", max_block_size)
-        .select(
-            F.col("source_record_id_a").alias("id_a"),
-            F.col("source_record_id_b").alias("id_b"),
+    # stream RAW band pairs straight into the estimator: the candidate set
+    # used to be distinct()'d + checkpointed first, which shuffled the
+    # full O(10^7) pair table twice before the prune — measured bucket
+    # duplicate factor is ~1.02 (a pair rarely collides in >1 band below
+    # the threshold), so deduping the tiny SURVIVOR set instead removes a
+    # full pair-table shuffle at ~2% extra estimator work (guide §2.4)
+    cands = _pairs_within_blocks(
+        members, ["_band", "_bucket"], "minhash", max_block_size
+    ).select(
+        F.col("source_record_id_a").alias("id_a"),
+        F.col("source_record_id_b").alias("id_b"),
+    )
+    survivors = (
+        _minhash_estimator_prune(
+            cands, base, num_hashes, jaccard_threshold, n_sig_rows=n_docs
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    survivors = _minhash_estimator_prune(
-        cands, base, num_hashes, jaccard_threshold
-    ).localCheckpoint(eager=True)
     return _minhash_exact_verify(
-        survivors, docs, id_col, text_col, shingle_k, jaccard_threshold
+        survivors, docs, id_col, text_col, shingle_k, jaccard_threshold,
+        n_pairs=survivors.count(),
     )
 
 
@@ -154,8 +164,16 @@ def _minhash_band_members(
             for r in range(rows_per_band)
         ]
         if hash_mode == "md5":
-            # concat string — reproducible in ANSI SQL (the oracle twin)
-            return F.concat_ws("|", *[r.cast("string") for r in rows])
+            # the oracle twin reproduces the band bucket as the concat
+            # string; the ENGINE join key is xxhash64 of that string —
+            # bucket values never appear in any output, only their equality
+            # structure does, and hashing the 60-80 char key to 8 bytes
+            # measurably cheapens the band self-join shuffle (guide §2.3
+            # narrower types). A hash collision could only ADD a candidate
+            # pair, which must still pass the 64-hash estimator AND exact
+            # Jaccard verify to reach the output (~1e-14 combined; pair
+            # sets verified identical at sf1.0).
+            return F.xxhash64(F.concat_ws("|", *[r.cast("string") for r in rows]))
         return F.xxhash64(*rows)
 
     band_structs = F.array(
@@ -172,15 +190,33 @@ def _minhash_band_members(
     )
 
 
+# broadcast the signature table into the estimator joins when its
+# estimated size fits comfortably in executor memory: the candidate pair
+# table is orders of magnitude larger than the signature table, and a
+# sort-merge join would shuffle+sort the pair table twice just to attach
+# 8-byte-per-hash arrays (guide §3.1 — hint explicitly; size estimates
+# after an aggregation are unreliable). Above the cap the join falls back
+# to the planner's shuffle strategy — the correct shape when the corpus
+# signature table itself is huge.
+SIG_BROADCAST_BYTES = 256 << 20
+
+
 def _minhash_estimator_prune(
     cands: DataFrame, sig_df: DataFrame, num_hashes: int,
-    jaccard_threshold: float,
+    jaccard_threshold: float, n_sig_rows: int | None = None,
 ) -> DataFrame:
     """Stage-1 verification: cheap signature-agreement estimate (num_hashes
     int comparisons/pair) — an unbiased MinHash estimator of Jaccard —
-    prunes the candidate set ~3 sigma below the target threshold."""
+    prunes the candidate set ~3 sigma below the target threshold.
+
+    ``n_sig_rows``: row count of ``sig_df`` when the caller has it
+    materialized — drives the broadcast-size guard."""
     sa = sig_df.select(F.col("source_record_id").alias("id_a"), F.col("_sig").alias("_siga"))
     sb = sig_df.select(F.col("source_record_id").alias("id_b"), F.col("_sig").alias("_sigb"))
+    if n_sig_rows is not None and (
+        n_sig_rows * (num_hashes * 8 + 48) <= SIG_BROADCAST_BYTES
+    ):
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     agree = F.size(
         F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda v: v)
     ).cast("double") / F.lit(float(num_hashes))
@@ -194,22 +230,37 @@ def _minhash_estimator_prune(
     )
 
 
+# when the survivor pair set is this small, broadcast IT (and the derived
+# doc-id set) through the verify joins so the corpus-side scans stream
+# map-side instead of shuffling; above the cap the planner's shuffle
+# strategy is the right shape
+PAIR_BROADCAST_ROWS = 50_000
+
+
 def _minhash_exact_verify(
     survivors: DataFrame, docs: DataFrame, id_col: str, text_col: str,
-    shingle_k: int, jaccard_threshold: float,
+    shingle_k: int, jaccard_threshold: float, n_pairs: int | None = None,
 ) -> DataFrame:
     """Stage-2 verification: exact char-shingle Jaccard, computed ONLY for
     estimator survivors. Semi-join before the (interpreted,
     allocation-heavy) shingle materialization: at the 100 TB point this is
     the difference between shingling the verification set and re-shingling
-    the whole corpus."""
+    the whole corpus.
+
+    ``n_pairs``: row count of ``survivors`` when the caller has it
+    materialized — when small, the pair side is broadcast through every
+    join (semi + both rehydrations) so nothing shuffles but the shingle
+    arrays of the verification set itself."""
     from payor_mdm_spark.operators.blocking import _shingles
 
+    small = n_pairs is not None and n_pairs <= PAIR_BROADCAST_ROWS
     needed = (
         survivors.select(F.col("id_a").alias(id_col))
         .unionByName(survivors.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    if small:
+        needed = F.broadcast(needed)
     sh = (
         docs.join(needed, id_col, "semi")
         .select(
@@ -222,9 +273,12 @@ def _minhash_exact_verify(
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
     union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    if small:
+        joined = b.join(F.broadcast(a.join(F.broadcast(survivors), "id_a")), "id_b")
+    else:
+        joined = survivors.join(a, "id_a").join(b, "id_b")
     return (
-        survivors.join(a, "id_a")
-        .join(b, "id_b")
+        joined
         .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -608,13 +662,15 @@ def minhash_dedup_incremental(
         members_new, members_all, ["_band", "_bucket"], max_block_size
     ).localCheckpoint(eager=True)
     survivors = _minhash_estimator_prune(
-        cands, all_base, num_hashes, jaccard_threshold
+        cands, all_base, num_hashes, jaccard_threshold,
+        n_sig_rows=all_base.count(),
     ).localCheckpoint(eager=True)
     all_docs = old_docs.select(F.col(id_col), F.col(text_col)).unionByName(
         new_docs.select(F.col(id_col), F.col(text_col))
     )
     pairs = _minhash_exact_verify(
-        survivors, all_docs, id_col, text_col, shingle_k, jaccard_threshold
+        survivors, all_docs, id_col, text_col, shingle_k, jaccard_threshold,
+        n_pairs=survivors.count(),
     )
     if store is not None and update_store:
         store.write(table, all_base.withColumn("_params", F.lit(params)))
