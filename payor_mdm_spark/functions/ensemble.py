@@ -109,14 +109,26 @@ def _route_addr_impl(
     a: str, b: str,
     jw_num: float | None = None, jw_name: float | None = None,
     jw_nrm: float | None = None,
+    info_a: tuple | None = None, info_b: tuple | None = None,
 ) -> tuple[float, str]:
     """Address router; optional RAW precomputed JW scores for the parsed
-    num/name components and the usps-normalized pair (batched C kernel)."""
-    has_num = any(c.isdigit() for c in a[:10]) and any(c.isdigit() for c in b[:10])
+    num/name components and the usps-normalized pair (batched C kernel).
+    ``info_a``/``info_b``: optional per-STRING (has_num, parsed, normalized)
+    triples precomputed once per distinct address by the batch kernel —
+    without them each is derived here, bit-identically."""
+    if info_a is None:
+        info_a = (any(c.isdigit() for c in a[:10]), None, None)
+    if info_b is None:
+        info_b = (any(c.isdigit() for c in b[:10]), None, None)
+    has_num = info_a[0] and info_b[0]
     results: dict[str, float] = {}
     if has_num:
-        results["ADDR_CMP"] = sim.addr_component(a, b, jw_num=jw_num, jw_name=jw_name)
-        results["ADDR_NRM"] = sim.addr_normalized(a, b, jw=jw_nrm)
+        results["ADDR_CMP"] = sim.addr_component(
+            a, b, jw_num=jw_num, jw_name=jw_name, ca=info_a[1], cb=info_b[1]
+        )
+        results["ADDR_NRM"] = sim.addr_normalized(
+            a, b, jw=jw_nrm, na=info_a[2], nb=info_b[2]
+        )
     else:
         results["ADDR_JAC"] = sim.addr_jaccard(a, b)
     winner = max(results, key=results.get)
@@ -268,21 +280,40 @@ def _string_scores_batch(
     # addr pass 2: collect every JW input the has_num route will need
     # (unequal parsed num/name components, unequal normalized strings),
     # batch them through ONE C call, then route per distinct pair
+    # per-STRING memo: an address recurs in many pairs within a batch, and
+    # the profile showed _addr_parse/usps_normalize dominating the addr path
+    # because each was recomputed per PAIR (then again inside the scorers).
+    # One (has_num, parsed, normalized) triple per distinct string, reused
+    # by the slot-collection pass and threaded into the routers.
+    addr_info: dict = {}
+
+    def _info(u: str) -> tuple:
+        v = addr_info.get(u)
+        if v is None:
+            v = (
+                any(c.isdigit() for c in u[:10]),
+                sim._addr_parse(u),
+                sim.usps_normalize(u),
+            )
+            addr_info[u] = v
+        return v
+
     jw_req_a: list = []
     jw_req_b: list = []
     req_slots: dict = {}  # (ua, ub) -> {"num": idx, "name": idx, "nrm": idx}
     for (ua, ub) in pending:
-        if not (any(c.isdigit() for c in ua[:10]) and any(c.isdigit() for c in ub[:10])):
+        ia, ib = _info(ua), _info(ub)
+        if not (ia[0] and ib[0]):
             continue
         slots: dict = {}
-        ca, cb = sim._addr_parse(ua), sim._addr_parse(ub)
+        ca, cb = ia[1], ib[1]
         for comp in ("num", "name"):
             va, vb = ca.get(comp, ""), cb.get(comp, "")
             if va and vb and va != vb:
                 slots[comp] = len(jw_req_a)
                 jw_req_a.append(va)
                 jw_req_b.append(vb)
-        na_, nb_ = sim.usps_normalize(ua), sim.usps_normalize(ub)
+        na_, nb_ = ia[2], ib[2]
         if na_ != nb_:
             slots["nrm"] = len(jw_req_a)
             jw_req_a.append(na_)
@@ -308,13 +339,16 @@ def _string_scores_batch(
         if hit is None:
             slots = req_slots.get((ua, ub))
             if slots is None:
-                hit = _route_addr_impl(ua, ub)
+                hit = _route_addr_impl(
+                    ua, ub, info_a=_info(ua), info_b=_info(ub)
+                )
             else:
                 hit = _route_addr_impl(
                     ua, ub,
                     jw_num=_pre(slots, "num"),
                     jw_name=_pre(slots, "name"),
                     jw_nrm=_pre(slots, "nrm"),
+                    info_a=_info(ua), info_b=_info(ub),
                 )
             addr_memo[(ua, ub)] = hit
         for i in rows:
@@ -541,31 +575,49 @@ def apply_ensemble(
     )
 
     if split_fast_path:
+        # single-branch split (r06): the old filter+union form evaluated the
+        # (join-heavy) upstream lineage TWICE — once per branch — which in
+        # the pipeline re-ran the full pair rehydration joins. Instead, rows
+        # stay in ONE plan: fast-path rows send NULL inputs through the
+        # Arrow UDF (a null column crosses the boundary as a validity
+        # bitmap — the kernel sees falsy values and skips all routing work)
+        # and the output columns pick the native fast-path value where it
+        # is decidable. The tax inputs are always NULL: score_exact_key_1
+        # comes from the native tax_score_cols below in both shapes, so the
+        # UDF's per-row score_tax work was computed and discarded.
+        # Bit-identical to the union form (pinned by test_ensemble_spark).
         fast_cond = name_dec & addr_dec
-        fast = (
-            pairs.filter(fast_cond)
-            .withColumn("score_name", name_s_fast)
-            .withColumn("winning_name_strategy", name_strat_fast)
-            .withColumn("score_address", addr_s_fast)
-            .withColumn("winning_addr_strategy", addr_strat_fast)
-        )
-        slow = (
-            pairs.filter(~fast_cond)
-            .withColumn(
+
+        def _mask(c: Column) -> Column:
+            return F.when(~fast_cond, c)
+
+        df = (
+            pairs.withColumn(
                 "_str",
                 udf(
-                    F.col("name_a"), F.col("name_b"),
-                    F.col("addr_a"), F.col("addr_b"),
-                    F.col("exact_key_1_a"), F.col("exact_key_1_b"),
+                    _mask(F.col("name_a")), _mask(F.col("name_b")),
+                    _mask(F.col("addr_a")), _mask(F.col("addr_b")),
+                    F.lit(None).cast("string"), F.lit(None).cast("string"),
                 ),
             )
-            .withColumn("score_name", F.col("_str.name_score"))
-            .withColumn("winning_name_strategy", F.col("_str.name_strategy"))
-            .withColumn("score_address", F.col("_str.addr_score"))
-            .withColumn("winning_addr_strategy", F.col("_str.addr_strategy"))
+            .withColumn(
+                "score_name",
+                F.when(fast_cond, name_s_fast).otherwise(F.col("_str.name_score")),
+            )
+            .withColumn(
+                "winning_name_strategy",
+                F.when(fast_cond, name_strat_fast).otherwise(F.col("_str.name_strategy")),
+            )
+            .withColumn(
+                "score_address",
+                F.when(fast_cond, addr_s_fast).otherwise(F.col("_str.addr_score")),
+            )
+            .withColumn(
+                "winning_addr_strategy",
+                F.when(fast_cond, addr_strat_fast).otherwise(F.col("_str.addr_strategy")),
+            )
             .drop("_str")
         )
-        df = fast.unionByName(slow)
     else:
         df = (
             pairs.withColumn(

@@ -213,12 +213,17 @@ def _addr_parse(addr: str) -> dict[str, str]:
 def addr_component(
     a: str, b: str,
     jw_num: float | None = None, jw_name: float | None = None,
+    ca: dict[str, str] | None = None, cb: dict[str, str] | None = None,
 ) -> float:
     """``jw_num``/``jw_name`` are optional RAW Jaro-Winkler scores for the
     parsed (num, name) component pairs, precomputed by the batched C
     kernel (functions/ensemble.py) — bit-identical to calling
-    jaro_winkler here."""
-    ca, cb = _addr_parse(a), _addr_parse(b)
+    jaro_winkler here. ``ca``/``cb``: optional pre-parsed components (the
+    batch kernel parses each distinct address STRING once)."""
+    if ca is None:
+        ca = _addr_parse(a)
+    if cb is None:
+        cb = _addr_parse(b)
     tw, sc = 0.0, 0.0
     for comp, w, pre in (("num", 0.3, jw_num), ("name", 0.3, jw_name)):
         va, vb = ca.get(comp, ""), cb.get(comp, "")
@@ -235,8 +240,14 @@ def usps_normalize(addr: str) -> str:
     return " ".join(STREET_NORMS.get(t, t) for t in addr.split())
 
 
-def addr_normalized(a: str, b: str, jw: float | None = None) -> float:
-    na, nb = usps_normalize(a), usps_normalize(b)
+def addr_normalized(a: str, b: str, jw: float | None = None,
+                    na: str | None = None, nb: str | None = None) -> float:
+    """``na``/``nb``: optional pre-normalized strings (computed once per
+    distinct address string by the batch kernel)."""
+    if na is None:
+        na = usps_normalize(a)
+    if nb is None:
+        nb = usps_normalize(b)
     if na == nb:
         return 1.0
     return round(jw if jw is not None else jaro_winkler(na, nb), 4)

@@ -121,8 +121,14 @@ def run_pipeline(
                  "run_ts": run_ts}
             )
     # staged is scanned by every blocking pass and both sides of the scoring
-    # rehydration join — cache it (committed snapshot or view)
-    staged = staged.cache()
+    # rehydration join — cache it (committed snapshot or view) WITHOUT the
+    # packed-turns payload: no downstream stage reads `turns` (it lives in
+    # the committed staged table for the record contract), and columnar-
+    # caching the full conversation text roughly doubled the blocking
+    # stage's cost at the 30k-entity bench point (guide §2.3: keys and
+    # metadata travel, payloads don't; §5: caching competes with execution
+    # memory).
+    staged = staged.drop("turns").cache()
     result.tables["staged"] = staged
     pairs = stage(
         "blocking_pairs",
@@ -270,7 +276,8 @@ def run_incremental(
     ).localCheckpoint(eager=True)
 
     store.write("staged", staged)
-    staged = store.read("staged").cache()
+    # same pruned cache as run_pipeline: scoring/blocking never read turns
+    staged = store.read("staged").drop("turns").cache()
 
     pairs = candidate_pairs(staged, max_block_size=max_block)
     store.write("blocking_pairs", pairs)

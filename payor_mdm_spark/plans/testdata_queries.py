@@ -191,29 +191,32 @@ def stage_state_lookup_join(spark, sf_dir):
 )
 def blocking_pairs_two_keys(spark, sf_dir):
     """OR-of-keys blocking rewritten as union of equi self-joins +
-    dropDuplicates (the reference's int_blocking_pairs.sql rewrite)."""
+    dropDuplicates (the reference's int_blocking_pairs.sql rewrite).
+
+    r06: join keys are the NATIVE columns (3-col equi join / a long),
+    not '|'-concatenated strings — same equality structure, but the join
+    hashes/compares ints instead of building and shipping a string per
+    row (guide §2.3 narrower types). Output pairs are identical."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
     k1 = c.select(
         F.col("c_custkey").alias("id"),
-        F.concat_ws(
-            "|",
-            F.col("c_nationkey").cast("string"),
-            F.col("c_mktsegment"),
-            (F.col("c_custkey") % 20).cast("string"),
-        ).alias("k"),
+        F.col("c_nationkey").alias("k1"),
+        F.col("c_mktsegment").alias("k2"),
+        (F.col("c_custkey") % 20).alias("k3"),
     )
     k2 = c.select(
         F.col("c_custkey").alias("id"),
-        F.floor(F.col("c_acctbal") / 10).cast("string").alias("k"),
+        F.floor(F.col("c_acctbal") / 10).alias("k1"),
     )
 
     def pass_pairs(kdf):
-        a = kdf.select(F.col("k"), F.col("id").alias("id_a"))
-        b = kdf.select(F.col("k"), F.col("id").alias("id_b"))
+        keys = [col for col in kdf.columns if col != "id"]
+        a = kdf.select(*keys, F.col("id").alias("id_a"))
+        b = kdf.select(*keys, F.col("id").alias("id_b"))
         return (
-            a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+            a.join(b, keys).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         )
 
     return pass_pairs(k1).unionByName(pass_pairs(k2)).dropDuplicates(["id_a", "id_b"])

@@ -17,6 +17,14 @@ _DEFAULT_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's runtime broadcast decision uses ACTUAL shuffle sizes, not the
+    # planner's estimates, so a larger threshold here is safe at any scale:
+    # a dimension side that really is <= 64 MB (staged-record projections,
+    # signature tables) broadcasts instead of shuffling the fact side; a
+    # genuinely large side never does. 64 MB is modest for executors sized
+    # per guide §9 (the compile-time autoBroadcastJoinThreshold stays at
+    # its conservative default because IT acts on estimates).
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",

@@ -183,8 +183,10 @@ def test_split_fast_path_equivalence(spark):
 
 def test_split_fast_path_skips_udf_for_det3_shape(spark):
     """Identical-name identical-numbered-addr pairs (the DET-3 shape) must
-    be fast-path decidable, and the split plan must gate its single Arrow
-    UDF node behind the NOT(fast) filter under a Union."""
+    be fast-path decidable, and the split plan must keep a SINGLE Arrow
+    UDF node over a single branch (r06: fast rows are masked to NULL UDF
+    inputs rather than filtered into a second Union branch, so the
+    upstream lineage is never evaluated twice)."""
     from payor_mdm_spark.functions.ensemble import addr_fast_path, name_fast_path
 
     df = spark.createDataFrame(PAIRS + EDGE_PAIRS, _SCHEMA)
@@ -204,8 +206,10 @@ def test_split_fast_path_skips_udf_for_det3_shape(spark):
         apply_ensemble(df, split_fast_path=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("ArrowEvalPython") == 1  # one branch pays Python
-    assert "Union" in plan
+    assert plan.count("ArrowEvalPython") == 1  # exactly one Python node
+    # single-branch plan: the pair lineage must appear ONCE (no Union of a
+    # fast and a slow branch re-executing the upstream joins)
+    assert "Union" not in plan
 
 
 def test_split_equivalence_whitespace_torture(spark):
