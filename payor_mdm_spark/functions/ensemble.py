@@ -236,7 +236,24 @@ def _string_scores_batch(
         if batched is not None:
             jw_arr, tri_arr, fb_arr = batched
 
-    # pass 3: route, feeding the precomputed kernels in
+    # pass 3: route, feeding the precomputed kernels in. The dominant route
+    # on real name data (no abbreviation token, len ratio >= 0.6, max len
+    # > 20 -> try [NAME_JW, NAME_NGR]) is fully determined by the two
+    # C-batched scores, so it is resolved inline — same table lookups,
+    # same ratio arithmetic (mn/mx, not a rearranged comparison), same
+    # first-max-in-insertion-order tie-break — and only the minority
+    # routes (abbrev / short / low-ratio / non-ASCII fallback) pay the
+    # _route_name_impl call.
+    abbrev_memo: dict = {}
+
+    def _has_abbrev(u: str) -> bool:
+        v = abbrev_memo.get(u)
+        if v is None:
+            v = any(t in table for t in u.split())
+            abbrev_memo[u] = v
+        return v
+
+    ns_out, nst_out = out["name_score"], out["name_strategy"]
     for k, i in enumerate(routed):
         ua, ub = ua_l[i], ub_l[i]
         key = (ua, ub)
@@ -246,9 +263,22 @@ def _string_scores_batch(
             if jw_arr is not None and not fb_arr[k]:
                 jw = round(float(jw_arr[k]), 4)
                 tri = round(float(tri_arr[k]), 4)
-            hit = _route_name_impl(ua, ub, abbrevs, jw=jw, tri=tri)
+            la = len(ua)
+            lb = len(ub)
+            mx = lb if lb > la else la
+            mn = la if la < lb else lb
+            if (
+                jw is not None
+                and mx > 20
+                and mn / mx >= 0.6
+                and not _has_abbrev(ua)
+                and not _has_abbrev(ub)
+            ):
+                hit = (tri, "NAME_NGR") if tri > jw else (jw, "NAME_JW")
+            else:
+                hit = _route_name_impl(ua, ub, abbrevs, jw=jw, tri=tri)
             name_memo[key] = hit
-        out["name_score"][i], out["name_strategy"][i] = hit
+        ns_out[i], nst_out[i] = hit
     # addr pass 1: fast paths; group the rows needing the router by
     # distinct (ua, ub) pair so each pair routes once
     pending: dict = {}  # (ua, ub) -> list of row indices
@@ -273,9 +303,12 @@ def _string_scores_batch(
                     out["addr_strategy"][i] = "ADDR_JAC"
             else:
                 pending.setdefault((ua, ub), []).append(i)
-        ts, tstrat = score_tax(ta_l[i], tb_l[i])
-        out["tax_score"][i] = ts
-        out["tax_strategy"][i] = tstrat
+        # score_tax returns (None, None) unless both values are truthy —
+        # guard here so the common all-null tax batch (the pipeline scores
+        # tax natively and sends NULLs) skips n function calls
+        ta, tb = ta_l[i], tb_l[i]
+        if ta and tb:
+            out["tax_score"][i], out["tax_strategy"][i] = score_tax(ta, tb)
 
     # addr pass 2: collect every JW input the has_num route will need
     # (unequal parsed num/name components, unequal normalized strings),

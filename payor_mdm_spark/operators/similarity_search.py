@@ -49,16 +49,26 @@ def brute_force_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact top-k: [query_id, vec_id, score, rank]. The corpus side is the
-    big side; queries are broadcast (typical ANN serving shape)."""
+    big side; queries are broadcast (typical ANN serving shape).
+
+    Norms are computed ONCE per corpus row / per query row BEFORE the
+    cross join instead of per scored pair (the norm fold is an interpreted
+    higher-order expression — recomputing both per pair tripled the
+    per-row cost); the float program per pair (dot / (qn * cn), same
+    operand order) is unchanged, so scores are bit-identical."""
     c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
-    )
-    scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "score", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6)
-    )
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+    ).otherwise(F.lit(0.0))
+    scored = c.crossJoin(F.broadcast(q)).withColumn("score", F.round(cos, 6))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

@@ -26,7 +26,12 @@ _DEFAULT_CONFS = {
     # its conservative default because IT acts on estimates).
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # larger Arrow batches amortize per-batch Python/pandas overhead for the
+    # narrow string rows the scoring kernel sees (guide §4.2: raise for
+    # narrow data) and widen the per-batch memo hit window; Spark 4's
+    # maxBytesPerBatch (64 MB default) still caps a batch by BYTES, so
+    # wide/binary rows (multimodal blobs) cannot blow up a batch.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
     "spark.sql.session.timeZone": "UTC",
     # Tame noisy event logs in the sandbox; harmless on a real cluster.
     "spark.ui.enabled": "false",
