@@ -403,10 +403,42 @@ def candidate_pairs(
         passes.append(sorted_neighborhood_pass(staged, sn_window))
     if include_minhash:
         passes.append(minhash_lsh_pass(staged, max_block_size=max_block_size))
-    unioned = passes[0]
-    for p in passes[1:]:
-        unioned = unioned.unionByName(p)
+    # The pass set is tiny and known, so the union/aggregation carries a
+    # per-pass BIT instead of the pass-name string, bit_or's the mask
+    # (map-side partial agg on an int, guide §2.3 "shuffle keys and
+    # metadata"), and maps the mask to its precomputed sorted-name array
+    # through a 2^n-entry literal table — value-identical to
+    # sort_array(collect_set(block_pass)) with a far narrower shuffle and
+    # no per-group string-set buffer.
+    pass_names = ["exact_key", "name_state", "zip3_name4"]
+    if "block_abbr_key" in staged.columns:
+        pass_names.append("abbr_name_state")
+    if include_sorted_neighborhood:
+        pass_names.append("sorted_neighborhood")
+    if include_minhash:
+        pass_names.append("minhash_lsh")
+    bit_of = {n: i for i, n in enumerate(pass_names)}
+    unioned = None
+    for p, name in zip(passes, pass_names):
+        masked = p.select(
+            f"{_ID}_a", f"{_ID}_b", F.lit(1 << bit_of[name]).alias("_pm")
+        )
+        unioned = masked if unioned is None else unioned.unionByName(masked)
+    mask_table = F.array(
+        *[
+            F.array(
+                *[F.lit(n) for n in sorted(
+                    n for n in pass_names if m & (1 << bit_of[n])
+                )]
+            )
+            for m in range(1 << len(pass_names))
+        ]
+    )
     return (
         unioned.groupBy(f"{_ID}_a", f"{_ID}_b")
-        .agg(F.sort_array(F.collect_set("block_pass")).alias("matched_block_keys"))
+        .agg(F.bit_or("_pm").alias("_mask"))
+        .select(
+            f"{_ID}_a", f"{_ID}_b",
+            F.element_at(mask_table, F.col("_mask") + 1).alias("matched_block_keys"),
+        )
     )
