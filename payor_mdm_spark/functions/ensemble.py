@@ -198,7 +198,6 @@ def _string_scores_batch(
     # and bounded (see _kernel_cache docstring for why cross-batch caches
     # are default-off)
     name_memo: dict = {}
-    addr_memo: dict = {}
 
     # pass 1: normalize names, take the identical fast path, collect the
     # rows that need the router
@@ -367,23 +366,23 @@ def _string_scores_batch(
             return None
         return float(jw_vals[idx])
 
+    # pending.items() iterates UNIQUE (ua, ub) pairs, so each key routes
+    # exactly once here — no memo needed (the old addr_memo could never
+    # hit in this loop; duplicate-pair sharing happens via `rows`)
     for (ua, ub), rows in pending.items():
-        hit = addr_memo.get((ua, ub))
-        if hit is None:
-            slots = req_slots.get((ua, ub))
-            if slots is None:
-                hit = _route_addr_impl(
-                    ua, ub, info_a=_info(ua), info_b=_info(ub)
-                )
-            else:
-                hit = _route_addr_impl(
-                    ua, ub,
-                    jw_num=_pre(slots, "num"),
-                    jw_name=_pre(slots, "name"),
-                    jw_nrm=_pre(slots, "nrm"),
-                    info_a=_info(ua), info_b=_info(ub),
-                )
-            addr_memo[(ua, ub)] = hit
+        slots = req_slots.get((ua, ub))
+        if slots is None:
+            hit = _route_addr_impl(
+                ua, ub, info_a=_info(ua), info_b=_info(ub)
+            )
+        else:
+            hit = _route_addr_impl(
+                ua, ub,
+                jw_num=_pre(slots, "num"),
+                jw_name=_pre(slots, "name"),
+                jw_nrm=_pre(slots, "nrm"),
+                info_a=_info(ua), info_b=_info(ub),
+            )
         for i in rows:
             out["addr_score"][i], out["addr_strategy"][i] = hit
     return pd.DataFrame(out)
