@@ -190,13 +190,22 @@ def stage_state_lookup_join(spark, sf_dir):
     """,
 )
 def blocking_pairs_two_keys(spark, sf_dir):
-    """OR-of-keys blocking rewritten as union of equi self-joins +
-    dropDuplicates (the reference's int_blocking_pairs.sql rewrite).
+    """OR-of-keys blocking rewritten as union of equi self-joins (the
+    reference's int_blocking_pairs.sql rewrite).
 
     r06: join keys are the NATIVE columns (3-col equi join / a long),
     not '|'-concatenated strings — same equality structure, but the join
     hashes/compares ints instead of building and shipping a string per
-    row (guide §2.3 narrower types). Output pairs are identical."""
+    row (guide §2.3 narrower types). Output pairs are identical.
+
+    r06b: the DISTINCT needs no shuffle (guide §2.4 "a distinct on data
+    that is already unique"). Within one pass each id holds exactly one
+    key row, so a pass's pair set is distinct by construction; the only
+    duplicates are pairs matched by BOTH passes. The acctbal pass carries
+    both sides' pass-1 key columns through its join and drops any pair
+    pass 1 already produced with a map-side predicate — the union is then
+    provably duplicate-free, and the 10^7-row pair table never shuffles
+    (at sf1.0 the dropDuplicates exchange was ~60% of the query)."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
@@ -206,20 +215,38 @@ def blocking_pairs_two_keys(spark, sf_dir):
         F.col("c_mktsegment").alias("k2"),
         (F.col("c_custkey") % 20).alias("k3"),
     )
+    p1 = (
+        k1.select("k1", "k2", "k3", F.col("id").alias("id_a"))
+        .join(k1.select("k1", "k2", "k3", F.col("id").alias("id_b")),
+              ["k1", "k2", "k3"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
     k2 = c.select(
         F.col("c_custkey").alias("id"),
-        F.floor(F.col("c_acctbal") / 10).alias("k1"),
+        F.floor(F.col("c_acctbal") / 10).alias("kb"),
+        F.col("c_nationkey").alias("n"),
+        F.col("c_mktsegment").alias("m"),
+        (F.col("c_custkey") % 20).alias("g"),
     )
-
-    def pass_pairs(kdf):
-        keys = [col for col in kdf.columns if col != "id"]
-        a = kdf.select(*keys, F.col("id").alias("id_a"))
-        b = kdf.select(*keys, F.col("id").alias("id_b"))
-        return (
-            a.join(b, keys).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    in_pass1 = F.coalesce(
+        (F.col("n_a") == F.col("n_b"))
+        & (F.col("m_a") == F.col("m_b"))
+        & (F.col("g_a") == F.col("g_b")),
+        F.lit(False),  # NULL pass-1 keys never joined in pass 1 -> keep
+    )
+    p2 = (
+        k2.select("kb", F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                  F.col("m").alias("m_a"), F.col("g").alias("g_a"))
+        .join(
+            k2.select("kb", F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+                      F.col("m").alias("m_b"), F.col("g").alias("g_b")),
+            "kb",
         )
-
-    return pass_pairs(k1).unionByName(pass_pairs(k2)).dropDuplicates(["id_a", "id_b"])
+        .filter((F.col("id_a") < F.col("id_b")) & ~in_pass1)
+        .select("id_a", "id_b")
+    )
+    return p1.unionByName(p2)
 
 
 @query(

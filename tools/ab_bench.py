@@ -28,7 +28,11 @@ import sys
 import time
 
 HEAD_REPO = "/root/repo"
-OUT = os.path.join(HEAD_REPO, "BENCH", "ab_r3_r4.json")
+# Output path is overridable so a new round's A/B never clobbers a prior
+# round's committed evidence (BENCH/ab_r3_r4.json is round-4 record).
+OUT = os.environ.get(
+    "AB_BENCH_OUT", os.path.join(HEAD_REPO, "BENCH", "ab_r3_r4.json")
+)
 
 # HEAD bench.py times this r4-only query unconditionally; guard it so the
 # same harness file runs in a checkout whose registry predates it.
