@@ -319,14 +319,30 @@ def _with_signature(
     # corpus, so skip it (VERDICT r02 item 6)
     if _scan_splits_below(base, parallelism):
         base = base.repartition(parallelism)
-    # per-doc array_distinct before the explode: duplicate shingles within
-    # a document contribute nothing to a min() but pay num_hashes hashes
-    # each — ~30% fewer exploded rows on prose and a measured 2.5x on the
-    # signature stage at sf1.0 (guide §2.3 "don't compute things you throw
-    # away"); min over the distinct set is bit-identical to the multiset
-    exploded = base.select(
-        id_col, F.explode(F.array_distinct(_shingles(F.col("_t"), k))).alias("_s")
+    # explode-FIRST, flat codegen (r06b; guide §4.1 prefer codegen'd
+    # built-ins — the same shape that fixed dup_span): building the shingle
+    # ARRAY via `transform` + array_distinct runs in Spark's interpreted
+    # expression path and cost more than the 64 hashes it saved. Exploding
+    # start positions and slicing with flat `substring` keeps the whole
+    # enumerate+hash+partial-min pipeline inside one WholeStageCodegen
+    # stage. min() over the occurrence multiset is bit-identical to min()
+    # over the distinct set, so signatures are unchanged (noop-isolated:
+    # 2.9s -> 1.8s steady-state on the 57k-doc corpus, 8.0s -> 3.3s first
+    # run). Edge cases match _shingles exactly: len < k (incl. empty)
+    # -> the whole string via greatest(n-k+1, 1) + substring clamping;
+    # NULL text -> greatest(NULL, 1) = 1 -> substring(NULL) = NULL.
+    # length over the UPPERCASED string, exactly as _shingles does (upper
+    # can change code-point length, e.g. ess-zet -> SS)
+    up = base.select(id_col, F.upper(F.col("_t")).alias("_u")).select(
+        id_col, "_u", F.length("_u").alias("_n")
     )
+    exploded = up.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("_n") - (k - 1), F.lit(1)))
+        ).alias("_p"),
+        "_u",
+    ).select(id_col, F.expr(f"substring(_u, _p, {int(k)})").alias("_s"))
     mins = [
         F.min(F.xxhash64(F.col("_s"), F.lit(j))).alias(f"_h{j}")
         for j in range(num_hashes)

@@ -242,17 +242,27 @@ def _minhash_exact_verify(
     shingle_k: int, jaccard_threshold: float, n_pairs: int | None = None,
 ) -> DataFrame:
     """Stage-2 verification: exact char-shingle Jaccard, computed ONLY for
-    estimator survivors. Semi-join before the (interpreted,
-    allocation-heavy) shingle materialization: at the 100 TB point this is
-    the difference between shingling the verification set and re-shingling
-    the whole corpus.
+    estimator survivors. Semi-join before any per-doc materialization: at
+    the 100 TB point this is the difference between verifying the
+    candidate set and re-processing the whole corpus.
+
+    r06b shape (guide §8 "decide with small rows"): the old form attached
+    ARRAYS of shingles to both sides of the pair table — a payload ~5x the
+    text bytes (every char appears in k shingles), built by an interpreted
+    higher-order `transform` and shuffled through two joins, then compared
+    with interpreted `array_intersect`/`array_union` per pair. Now the
+    pair table attaches the raw TEXTS (the lightest possible proxy) and a
+    single Arrow kernel computes |A∩B|/|A∪B| over C-native frozensets,
+    memoizing each distinct text's shingle set per task. Semantics are
+    bit-identical to the expression form, including the edges: NULL text
+    -> {NULL} (two NULL docs share jaccard 1.0), short text (< k chars)
+    -> the whole string as its only shingle; the division is the same
+    exact-int IEEE divide. Pinned by the dedup_minhash_lsh /
+    dedup_minhash_incremental DuckDB oracles.
 
     ``n_pairs``: row count of ``survivors`` when the caller has it
     materialized — when small, the pair side is broadcast through every
-    join (semi + both rehydrations) so nothing shuffles but the shingle
-    arrays of the verification set itself."""
-    from payor_mdm_spark.operators.blocking import _shingles
-
+    join (semi + both text attaches) so the corpus scan streams map-side."""
     small = n_pairs is not None and n_pairs <= PAIR_BROADCAST_ROWS
     needed = (
         survivors.select(F.col("id_a").alias(id_col))
@@ -261,28 +271,62 @@ def _minhash_exact_verify(
     )
     if small:
         needed = F.broadcast(needed)
-    sh = (
+    # upper() stays JVM-side so case semantics match _shingles exactly
+    # (same rule as blocking._md5_signature_batches)
+    txt = (
         docs.join(needed, id_col, "semi")
-        .select(
-            F.col(id_col),
-            F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("_g"),
-        )
+        .select(F.col(id_col), F.upper(F.col(text_col)).alias("_t"))
         .localCheckpoint(eager=True)
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
-    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
-    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    a = txt.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
+    b = txt.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
     if small:
         joined = b.join(F.broadcast(a.join(F.broadcast(survivors), "id_a")), "id_b")
     else:
         joined = survivors.join(a, "id_a").join(b, "id_b")
-    return (
-        joined
-        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    id_type = survivors.schema["id_a"].dataType.simpleString()
+    schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+    k = shingle_k
+    thr = jaccard_threshold
+
+    def gen(batches):
+        import pandas as pd
+
+        memo: dict = {}
+
+        def sset(u):
+            s = memo.get(u)
+            if s is None:
+                if u is None:
+                    # _shingles(NULL) -> array(upper(NULL)) -> [NULL]
+                    s = frozenset((None,))
+                else:
+                    # input is pre-uppercased JVM-side
+                    n = len(u)
+                    if n >= k:
+                        s = frozenset(u[i : i + k] for i in range(n - k + 1))
+                    else:
+                        s = frozenset((u,))
+                memo[u] = s
+            return s
+
+        for pdf in batches:
+            ia = pdf["id_a"].tolist()
+            ib = pdf["id_b"].tolist()
+            ta = pdf["_ta"].tolist()
+            tb = pdf["_tb"].tolist()
+            oa, ob, oj = [], [], []
+            for i in range(len(ia)):
+                sa, sb = sset(ta[i]), sset(tb[i])
+                un = len(sa | sb)
+                j = len(sa & sb) / un if un > 0 else 0.0
+                if j >= thr:
+                    oa.append(ia[i])
+                    ob.append(ib[i])
+                    oj.append(j)
+            yield pd.DataFrame({"id_a": oa, "id_b": ob, "jaccard": oj})
+
+    return joined.select("id_a", "id_b", "_ta", "_tb").mapInPandas(gen, schema)
 
 
 SIMHASH_BITS = 60  # md5_60bit token hashes -> 60 usable bits, 4 bands x 15
