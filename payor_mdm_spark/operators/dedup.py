@@ -230,11 +230,13 @@ def _minhash_estimator_prune(
     )
 
 
-# when the survivor pair set is this small, broadcast IT (and the derived
-# doc-id set) through the verify joins so the corpus-side scans stream
-# map-side instead of shuffling; above the cap the planner's shuffle
-# strategy is the right shape
-PAIR_BROADCAST_ROWS = 50_000
+# when the survivor pair set is this small, broadcast IT through the
+# verify joins so the corpus-side scans stream map-side instead of
+# shuffling; above the cap the planner's shuffle strategy is the right
+# shape. The largest broadcast relation on this path is the pair ids plus
+# ONE side's attached text (~350 B/row on prose corpora -> ~50 MB at the
+# cap, in line with the session's 64 MB AQE runtime threshold).
+PAIR_BROADCAST_ROWS = 150_000
 
 
 def _minhash_exact_verify(
@@ -264,25 +266,44 @@ def _minhash_exact_verify(
     materialized — when small, the pair side is broadcast through every
     join (semi + both text attaches) so the corpus scan streams map-side."""
     small = n_pairs is not None and n_pairs <= PAIR_BROADCAST_ROWS
-    needed = (
-        survivors.select(F.col("id_a").alias(id_col))
-        .unionByName(survivors.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    if small:
-        needed = F.broadcast(needed)
     # upper() stays JVM-side so case semantics match _shingles exactly
     # (same rule as blocking._md5_signature_batches)
-    txt = (
-        docs.join(needed, id_col, "semi")
-        .select(F.col(id_col), F.upper(F.col(text_col)).alias("_t"))
-        .localCheckpoint(eager=True)
-    )
-    a = txt.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
-    b = txt.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
     if small:
+        # broadcast the pair set through both text attaches: the corpus
+        # scan streams map-side and the inner joins themselves do the
+        # needed-docs filtering, so the semi-join + intermediate
+        # materialization of the big-corpus path would be pure overhead
+        a = docs.select(
+            F.col(id_col).alias("id_a"), F.upper(F.col(text_col)).alias("_ta")
+        )
+        b = docs.select(
+            F.col(id_col).alias("id_b"), F.upper(F.col(text_col)).alias("_tb")
+        )
+        # the probe side inherits the corpus scan's split count, which on a
+        # small/compact parquet is 1-2 splits — the broadcast probes AND the
+        # Jaccard kernel would run near-serially; spread when below the
+        # core count (skips itself at scale, same guard as the hash spread)
+        from payor_mdm_spark.operators.blocking import _scan_splits_below
+
+        parallelism = docs.sparkSession.sparkContext.defaultParallelism
+        if _scan_splits_below(b, parallelism):
+            b = b.repartition(parallelism)
         joined = b.join(F.broadcast(a.join(F.broadcast(survivors), "id_a")), "id_b")
     else:
+        # scale shape: reduce the corpus to the docs any survivor touches
+        # (ONE full-corpus shuffle) before attaching texts twice
+        needed = (
+            survivors.select(F.col("id_a").alias(id_col))
+            .unionByName(survivors.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        txt = (
+            docs.join(needed, id_col, "semi")
+            .select(F.col(id_col), F.upper(F.col(text_col)).alias("_t"))
+            .localCheckpoint(eager=True)
+        )
+        a = txt.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
+        b = txt.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
         joined = survivors.join(a, "id_a").join(b, "id_b")
     id_type = survivors.schema["id_a"].dataType.simpleString()
     schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
