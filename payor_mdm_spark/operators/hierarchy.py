@@ -60,7 +60,21 @@ def substring_candidates(
     on low-entropy name vocabularies where a fixed prefix gram would be
     hot. Parents whose rarest gram appears in no child are dropped
     outright — they cannot match. Schemas: parents[parent_master_id,
-    _pname], children[child_master_id, _cname]."""
+    _pname], children[child_master_id, _cname].
+
+    r06b: both inputs are spread to the core count when their scans have
+    fewer splits (the usual case for a compact golden/dimension parquet —
+    measured 1-2 splits at the bench points, which serialized the gram
+    explode and the candidate-join probe on 1-2 tasks and made the stage
+    scale flat from 2 to 32 cores, VERDICT r05 item 3). The guard skips
+    itself at scale, where scans already carry thousands of splits."""
+    from payor_mdm_spark.operators.blocking import _scan_splits_below
+
+    parallelism = children.sparkSession.sparkContext.defaultParallelism
+    if _scan_splits_below(children, parallelism):
+        children = children.repartition(parallelism)
+    if _scan_splits_below(parents, parallelism):
+        parents = parents.repartition(parallelism)
     c = children.filter(F.length("_cname") > k).select(
         "child_master_id", "_cname",
         F.explode(_grams(F.col("_cname"), k)).alias("_gram"),
