@@ -981,6 +981,55 @@ class TestSamplingAndNgrams:
         assert got[1].gram < got[2].gram
 
 
+class TestMinhashExactVerifyKernel:
+    """Pins the r06 Arrow-kernel exact verify against the expression form's
+    edge semantics: NULL text shingles to {NULL} (so a NULL-NULL pair is an
+    exact match at jaccard 1.0, and NULL-vs-text never matches), sub-k text
+    is its own single shingle, and both the broadcast and the big-survivor
+    (semi-join) code paths agree."""
+
+    def _world(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "abcdefghij"),
+                (2, "Abcdefghij"),   # case-folds equal to doc 1
+                (3, None),
+                (4, None),
+                (5, "ab"),           # below shingle_k: whole-string shingle
+                (6, "AB"),
+            ],
+            "doc_id long, text string",
+        )
+        surv = spark.createDataFrame(
+            [(1, 2), (3, 4), (1, 5), (1, 3), (5, 6)],
+            "id_a long, id_b long",
+        )
+        return docs, surv
+
+    def _run(self, spark, n_pairs):
+        from payor_mdm_spark.operators.dedup import _minhash_exact_verify
+
+        docs, surv = self._world(spark)
+        out = _minhash_exact_verify(
+            surv, docs, "doc_id", "text", 5, 0.8, n_pairs=n_pairs
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    def test_edge_semantics_broadcast_path(self, spark):
+        # upper() folding: 1-2 identical; NULL-NULL: 3-4 at 1.0; sub-k
+        # case-folded: 5-6 at 1.0; NULL-vs-text (1,3) and text-vs-subk
+        # (1,5) drop below threshold
+        assert self._run(spark, n_pairs=5) == [
+            (1, 2, 1.0), (3, 4, 1.0), (5, 6, 1.0)
+        ]
+
+    def test_edge_semantics_semi_join_path(self, spark):
+        # force the big-survivor branch (semi-join + shuffle attaches)
+        assert self._run(spark, n_pairs=10_000_000) == [
+            (1, 2, 1.0), (3, 4, 1.0), (5, 6, 1.0)
+        ]
+
+
 class TestIncrementalMinhash:
     def _corpora(self, spark):
         old = spark.createDataFrame(
