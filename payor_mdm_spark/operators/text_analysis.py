@@ -432,6 +432,12 @@ def tfidf_top_terms(
     document frequencies) + one bounded window per document — no UDFs, no
     vocabulary broadcast. Deterministic tie-breaks (score desc, term asc).
     Output: [id_col, term, tf, df, tfidf, rank].
+
+    Degenerate edge (ADVICE r05, documented rather than changed so the
+    DuckDB oracle twin stays bit-matched): if EVERY ``id_col`` value is
+    NULL, count_distinct yields N = 0 and ln(0/df) makes ``tfidf`` NULL
+    for all rows while the window still ranks them — harmless on real
+    data, where a corpus with only NULL ids is itself the bug to fix.
     """
     from pyspark.sql.window import Window
 

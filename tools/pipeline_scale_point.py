@@ -78,10 +78,17 @@ def run_snippet(snippet: str, args: list[str], retries: int = 1) -> dict:
     ~20 min of host stall), which is host flakiness, not plan behavior —
     a crashed sample is retried, never silently skipped."""
     for attempt in range(retries + 1):
-        out = subprocess.run(
-            [sys.executable, "-c", snippet, *args],
-            capture_output=True, text=True, timeout=7200, cwd="/root/repo",
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", snippet, *args],
+                capture_output=True, text=True, timeout=7200, cwd="/root/repo",
+            )
+        except subprocess.TimeoutExpired:
+            # a hung sample is a failed attempt like a nonzero returncode —
+            # without this the exception bypassed the retry loop entirely
+            # (ADVICE r05)
+            print(f"attempt {attempt + 1} timed out after 7200s", file=sys.stderr)
+            continue
         if out.returncode == 0:
             line = [
                 ln for ln in out.stdout.splitlines() if ln.startswith("{")
